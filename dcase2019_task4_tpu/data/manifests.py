@@ -1,0 +1,177 @@
+"""TSV manifests for the three DESED label schemas.
+
+Replaces the reference's pandas-dataframe-threading
+(DatasetDcase2019Task4.get_df_from_meta, DataLoadDf) with an explicit
+`Manifest` that packs labels into dense numpy arrays once, so the training
+hot path never touches pandas.
+
+Schemas (reference README.md:106-133):
+  * unlabeled: `filename`
+  * weak:      `filename ⇥ event_labels` (comma-joined)
+  * strong:    `filename ⇥ onset ⇥ offset ⇥ event_label` (one row per event)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from dcase2019_task4_tpu.data.encoder import LabelCodec, events_to_frames
+
+
+@dataclasses.dataclass
+class Manifest:
+    """One dataset split: unique filenames + per-file labels.
+
+    kind is one of "unlabeled" | "weak" | "strong".
+    For "strong", events hold (class_id, onset_sec, offset_sec) per file.
+    """
+
+    kind: str
+    filenames: List[str]
+    df: pd.DataFrame  # original rows (for scoring / TSV round-trips)
+    # weak: list (per file) of class-name lists
+    weak_labels: Optional[List[List[str]]] = None
+    # strong: list (per file) of (label, onset_sec, offset_sec) tuples
+    events: Optional[List[List[tuple]]] = None
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    # ------------------------------------------------------------ packing
+
+    def encode_targets(
+        self,
+        codec: LabelCodec,
+        sample_rate: int,
+        hop_length: int,
+        pooling_time_ratio: int,
+    ) -> np.ndarray:
+        """Pack this split's labels into one [N, n_frames, C] float array.
+
+        * unlabeled → all −1 (the concat-and-mask trick of DataLoad.py:104)
+        * weak      → each present class active on every frame
+        * strong    → event spans converted sec→pooled frames with the
+          reference's floor-div arithmetic (main.py:227-228)
+        """
+        N, T, C = len(self), codec.n_frames, len(codec.labels)
+        y = np.zeros((N, T, C), dtype=np.float32)
+        if self.kind == "unlabeled":
+            y.fill(-1.0)
+            return y
+        if self.kind == "weak":
+            for i, labels in enumerate(self.weak_labels):
+                for l in labels:
+                    y[i, :, codec._index[l]] = 1.0
+            return y
+        for i, evs in enumerate(self.events):
+            if not evs:
+                continue
+            labels = [e[0] for e in evs]
+            on, off = events_to_frames(
+                np.array([e[1] for e in evs]),
+                np.array([e[2] for e in evs]),
+                sample_rate,
+                hop_length,
+                pooling_time_ratio,
+            )
+            for l, o, f in zip(labels, on, off):
+                y[i, max(0, o) : min(T, f), codec._index[l]] = 1.0
+        return y
+
+
+def load_manifest(tsv_path: str) -> Manifest:
+    """Parse a TSV into a Manifest, auto-detecting the schema."""
+    df = pd.read_csv(tsv_path, header=0, sep="\t")
+    cols = set(df.columns)
+    if {"onset", "offset", "event_label"}.issubset(cols):
+        return _strong_manifest(df)
+    if "event_labels" in cols:
+        return _weak_manifest(df)
+    if "filename" in cols:
+        filenames = list(df["filename"].drop_duplicates())
+        return Manifest(kind="unlabeled", filenames=filenames, df=df)
+    raise ValueError(f"Unrecognized manifest schema: {sorted(cols)}")
+
+
+def _weak_manifest(df: pd.DataFrame) -> Manifest:
+    filenames = list(df["filename"].drop_duplicates())
+    labels: List[List[str]] = []
+    by_file = df.drop_duplicates("filename").set_index("filename")
+    for f in filenames:
+        raw = by_file.loc[f, "event_labels"]
+        if pd.isna(raw) or raw == "":
+            labels.append([])
+        else:
+            labels.append(str(raw).split(","))
+    return Manifest(kind="weak", filenames=filenames, df=df, weak_labels=labels)
+
+
+def _strong_manifest(df: pd.DataFrame) -> Manifest:
+    filenames = list(df["filename"].drop_duplicates())
+    events: List[List[tuple]] = []
+    grouped = dict(list(df.groupby("filename", sort=False)))
+    for f in filenames:
+        g = grouped[f]
+        evs = []
+        for _, row in g.iterrows():
+            if pd.isna(row["event_label"]):
+                continue
+            evs.append((row["event_label"], float(row["onset"]), float(row["offset"])))
+        events.append(evs)
+    return Manifest(kind="strong", filenames=filenames, df=df, events=events)
+
+
+def manifest_from_df(df: pd.DataFrame) -> Manifest:
+    cols = set(df.columns)
+    if {"onset", "offset", "event_label"}.issubset(cols):
+        return _strong_manifest(df)
+    if "event_labels" in cols:
+        return _weak_manifest(df)
+    return Manifest(kind="unlabeled", filenames=list(df["filename"].drop_duplicates()), df=df)
+
+
+def subpart_manifest(m: Manifest, subpart_data: Optional[int], seed: int = 10) -> Manifest:
+    """Subsample to `subpart_data` files (reference get_subpart_data,
+    DatasetDcase2019Task4.py:122-129: sample unique filenames, seed 10)."""
+    if subpart_data is None or subpart_data > len(m.filenames):
+        return m
+    keep = (
+        m.df["filename"].drop_duplicates().sample(subpart_data, random_state=seed)
+    )
+    df = m.df[m.df["filename"].isin(keep)].reset_index(drop=True)
+    return manifest_from_df(df)
+
+
+def split_weak(m: Manifest, frac: float = 0.8, seed: int = 26):
+    """80/20 split of a weak manifest by row (reference main.py:215-218)."""
+    train_df = m.df.sample(frac=frac, random_state=seed)
+    valid_df = m.df.drop(train_df.index).reset_index(drop=True)
+    train_df = train_df.reset_index(drop=True)
+    return manifest_from_df(train_df), manifest_from_df(valid_df)
+
+
+def split_synthetic(m: Manifest, frac: float = 0.8, seed: int = 26):
+    """80/20 split of a strong manifest by unique filename
+    (reference main.py:221-223)."""
+    keep = m.df["filename"].drop_duplicates().sample(frac=frac, random_state=seed)
+    train_df = m.df[m.df["filename"].isin(keep)]
+    valid_df = m.df.drop(train_df.index).reset_index(drop=True)
+    return manifest_from_df(train_df.reset_index(drop=True)), manifest_from_df(valid_df)
+
+
+def classes_from_manifests(manifests: Sequence[Manifest]) -> List[str]:
+    """Union of classes across manifests (reference get_classes,
+    DatasetDcase2019Task4.py:108-120). Sorted for determinism."""
+    classes = set()
+    for m in manifests:
+        if m.kind == "strong":
+            for evs in m.events:
+                classes.update(e[0] for e in evs)
+        elif m.kind == "weak":
+            for ls in m.weak_labels:
+                classes.update(ls)
+    return sorted(classes)
