@@ -1,0 +1,115 @@
+"""The CRNN: conv-BN-GLU-pool ×3 → BiGRU ×2 → strong/weak heads.
+
+Functional re-design of the reference model (models/CRNN.py:10-84,
+models/CNN.py:33-89, models/RNN.py:7-16) with identical math:
+
+  input [B, T=864, F=64, C=1] (NHWC)
+  → 3 × [conv 3×3 s1 p1 (64ch) → BN(eps 1e-3, mom .99) → GLU → dropout → avgpool (2,4)]
+  → [B, 108, 1, 64] → squeeze freq → [B, 108, 64]
+  → BiGRU (2 layers, hidden 64) → [B, 108, 128] → dropout 0.5
+  → dense → sigmoid → strong [B, 108, nclass]
+  → attention head: sof = clamp(softmax(dense_softmax(x), axis=-1), 1e-7, 1)
+    weak = Σ_t(strong·sof) / Σ_t(sof)            [B, nclass]
+
+The attention head reproduces the reference's (unusual) semantics exactly:
+softmax over the **class** axis but normalization summed over **time**
+(models/CRNN.py:77-83).
+
+Params and BN running stats are separate pytrees so the EMA teacher keeps
+its own statistics (the reference's EMA copies parameters only,
+main.py:45-49, while each model's BN buffers update from its own forwards).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dcase2019_task4_tpu.config import ModelConfig
+from dcase2019_task4_tpu.models import layers as L
+from dcase2019_task4_tpu.ops.gru import bigru_apply, bigru_init
+
+
+class CRNN:
+    """Stateless apply/init bundle; all tensors live in the param pytrees."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+
+    # ------------------------------------------------------------- init
+
+    def init(self, key) -> Tuple[Dict, Dict]:
+        cfg = self.cfg
+        params: Dict = {"cnn": [], "rnn": None, "dense": None}
+        state: Dict = {"cnn": []}
+        in_ch = cfg.n_in_channel
+        for i, out_ch in enumerate(cfg.nb_filters):
+            key, kc, kb, kg = jax.random.split(key, 4)
+            block = {"conv": L.conv2d_init(kc, in_ch, out_ch, cfg.kernel_size[i])}
+            bn_p, bn_s = L.batchnorm_init(kb, out_ch)
+            block["bn"] = bn_p
+            if cfg.activation in ("glu", "cg"):
+                block["act"] = L.linear_init(kg, out_ch, out_ch)
+            params["cnn"].append(block)
+            state["cnn"].append(bn_s)
+            in_ch = out_ch
+        key, kr, kd, ks = jax.random.split(key, 4)
+        params["rnn"] = bigru_init(kr, cfg.nb_filters[-1], cfg.n_rnn_cell, cfg.n_layers_rnn)
+        params["dense"] = L.linear_init(kd, cfg.n_rnn_cell * 2, cfg.nclass)
+        if cfg.attention:
+            params["dense_softmax"] = L.linear_init(ks, cfg.n_rnn_cell * 2, cfg.nclass)
+        return params, state
+
+    # ------------------------------------------------------------ apply
+
+    def apply(
+        self,
+        params: Dict,
+        state: Dict,
+        x: jnp.ndarray,
+        train: bool = False,
+        rng=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+        """x: [B, T, F] or [B, T, F, C] → (strong, weak, new_state)."""
+        cfg = self.cfg
+        if x.ndim == 3:
+            x = x[..., None]
+        if train and rng is None:
+            raise ValueError("rng required in train mode (dropout)")
+        new_state: Dict = {"cnn": []}
+        for i, block in enumerate(params["cnn"]):
+            x = L.conv2d_apply(block["conv"], x, cfg.stride[i], cfg.padding[i])
+            x, bn_s = L.batchnorm_apply(
+                block["bn"], state["cnn"][i], x, train, cfg.bn_eps, cfg.bn_momentum
+            )
+            new_state["cnn"].append(bn_s)
+            x = L.activation_apply(cfg.activation, block.get("act"), x)
+            if train and cfg.dropout > 0:
+                rng, sub = jax.random.split(rng)
+                x = L.dropout_apply(sub, x, cfg.dropout, train)
+            x = L.avg_pool(x, cfg.pooling[i])
+        # [B, T', F', C] → [B, T', C·F'] (freq collapses to 1 in the default
+        # config; the general flatten mirrors models/CRNN.py:64-67)
+        B, T, F, C = x.shape
+        if F == 1:
+            x = x[:, :, 0, :]
+        else:
+            x = x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
+        x = bigru_apply(params["rnn"], x)
+        if train and cfg.dropout > 0:
+            rng, sub = jax.random.split(rng)
+            x = L.dropout_apply(sub, x, cfg.dropout, train)
+        strong = jax.nn.sigmoid(L.linear_apply(params["dense"], x))
+        if cfg.attention:
+            sof = jax.nn.softmax(L.linear_apply(params["dense_softmax"], x), axis=-1)
+            sof = jnp.clip(sof, 1e-7, 1.0)
+            weak = (strong * sof).sum(axis=1) / sof.sum(axis=1)
+        else:
+            weak = strong.mean(axis=1)
+        return strong, weak, new_state
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,149 @@
+"""Functional neural-net layers (pure param-pytree style).
+
+Building blocks for the CRNN with the exact conventions of the reference
+stack (models/CNN.py, models/CRNN.py, utils/utils.py:205-224 weights_init):
+
+  * conv2d    — 3×3 stride-1 pad-1 NHWC conv; Xavier-uniform init gain √2
+  * batchnorm — eps 1e-3, torch-momentum 0.99 (running ← 0.99·batch + 0.01·old),
+                weight ~ N(1, 0.02), bias 0; separate running-stat state so
+                student and EMA teacher track their own statistics
+  * glu       — linear-gated unit: linear(x) · σ(x)   (models/CNN.py:5-16)
+  * cg        — context gating:     x · σ(linear(x))  (models/CNN.py:19-30)
+  * avg_pool  — window-mean pooling over (time, freq)
+  * linear    — N(0, 0.01) weight, zero bias
+  * dropout   — inverted dropout
+
+Layout is NHWC ([batch, time, freq, channel]) throughout — the TPU-native
+choice: channels ride the 128-wide lane dimension and XLA maps the convs
+onto the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------- conv2d
+
+def conv2d_init(key, in_ch: int, out_ch: int, k: int):
+    """Xavier-uniform with gain √2 on an HWIO kernel, zero bias
+    (weights_init conv branch, utils/utils.py:212-214)."""
+    fan_in = in_ch * k * k
+    fan_out = out_ch * k * k
+    limit = np.sqrt(2.0) * np.sqrt(6.0 / (fan_in + fan_out))
+    w = jax.random.uniform(key, (k, k, in_ch, out_ch), jnp.float32, -limit, limit)
+    return {"w": w, "b": jnp.zeros((out_ch,), jnp.float32)}
+
+
+def conv2d_apply(params, x, stride: int = 1, padding: int = 1):
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out + params["b"].astype(out.dtype)
+
+
+# -------------------------------------------------------------- batchnorm
+
+def batchnorm_init(key, ch: int):
+    params = {
+        "scale": 1.0 + 0.02 * jax.random.normal(key, (ch,), jnp.float32),
+        "bias": jnp.zeros((ch,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((ch,), jnp.float32),
+        "var": jnp.ones((ch,), jnp.float32),
+    }
+    return params, state
+
+
+def batchnorm_apply(params, state, x, train: bool, eps: float = 1e-3, momentum: float = 0.99):
+    """BatchNorm over all axes but channel (torch BatchNorm2d semantics).
+
+    torch momentum convention: running ← (1−m)·running + m·batch with the
+    reference's m=0.99 (models/CNN.py:52), batch variance biased for
+    normalization but unbiased for the running update, exactly like torch.
+    Returns (y, new_state)."""
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        n = x.size // x.shape[-1]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * inv * params["scale"] + params["bias"]
+    return y.astype(x.dtype), new_state
+
+
+# ------------------------------------------------------------------ dense
+
+def linear_init(key, in_dim: int, out_dim: int):
+    """weights_init Linear branch: N(0, 0.01) weight, zero bias
+    (utils/utils.py:221-224). Stored [in, out] so apply is x @ w."""
+    w = 0.01 * jax.random.normal(key, (in_dim, out_dim), jnp.float32)
+    return {"w": w, "b": jnp.zeros((out_dim,), jnp.float32)}
+
+
+def linear_apply(params, x):
+    return x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
+
+
+# ------------------------------------------------------------ activations
+
+def glu_apply(params, x):
+    """Reference GLU (models/CNN.py:5-16): channel-wise linear of x gated by
+    σ(x): out = linear(x) · σ(x). The linear acts on the channel axis, which
+    is already last in NHWC — no permutes, unlike the reference's NCHW
+    round-trip."""
+    return linear_apply(params, x) * jax.nn.sigmoid(x)
+
+
+def context_gating_apply(params, x):
+    """Reference ContextGating (models/CNN.py:19-30): x · σ(linear(x))."""
+    return x * jax.nn.sigmoid(linear_apply(params, x))
+
+
+def activation_apply(kind: str, params, x):
+    if kind == "glu":
+        return glu_apply(params, x)
+    if kind == "cg":
+        return context_gating_apply(params, x)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "leakyrelu":
+        return jax.nn.leaky_relu(x, 0.2)
+    raise ValueError(f"unknown activation: {kind}")
+
+
+# ---------------------------------------------------------------- pooling
+
+def avg_pool(x, pool):
+    """Mean pooling with window=stride=(pt, pf) over (time, freq) of NHWC."""
+    pt, pf = pool
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, pt, pf, 1), (1, pt, pf, 1), "VALID"
+    )
+    return summed / (pt * pf)
+
+
+# ---------------------------------------------------------------- dropout
+
+def dropout_apply(rng, x, rate: float, train: bool):
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,199 @@
+"""Jit-compiled training steps.
+
+The reference's per-batch Python loop body (main.py:73-157 for Mean-Teacher,
+main_simple_CRNN.py:40-76 for the supervised variant) becomes ONE fused XLA
+program per step: on-device featurization (optional) → teacher forward
+(stop-gradient) → student forward → masked losses → grads → Adam update →
+EMA lerp → new state. Nothing crosses the host boundary except the packed
+batch in and scalar metrics out.
+
+Step-count-dependent scalars (consistency rampup, EMA warmup alpha) are
+computed from the traced `step` counter with `jnp` ops — no Python control
+flow, so one compilation serves the whole run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcase2019_task4_tpu.train import losses
+from dcase2019_task4_tpu.train.ramps import sigmoid_rampup
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    ema_params: Any
+    ema_bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def init_train_state(model, optimizer, key, with_ema: bool = True) -> TrainState:
+    """Student and teacher are *independently* initialized, like the
+    reference's two separate weights_init calls (main.py:281-283); the EMA
+    warmup alpha pulls the teacher onto the student within a few steps."""
+    k_student, k_teacher = jax.random.split(key)
+    params, bn_state = model.init(k_student)
+    if with_ema:
+        ema_params, ema_bn_state = model.init(k_teacher)
+    else:
+        ema_params, ema_bn_state = None, None
+    opt_state = optimizer.init(params)
+    return TrainState(params, bn_state, ema_params, ema_bn_state, opt_state, jnp.int32(0))
+
+
+def ema_update(params, ema_params, step, alpha_max: float = 0.999):
+    """EMA lerp with warmup: α = min(1 − 1/(g+1), α_max) where g is the
+    post-increment global step (main.py:45-49,155-157 — the loop increments
+    global_step before calling update_ema_variables, so g = step + 1)."""
+    g = step + 1
+    alpha = jnp.minimum(1.0 - 1.0 / (g.astype(jnp.float32) + 1.0), alpha_max)
+    return jax.tree.map(lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params)
+
+
+def make_train_step(
+    model,
+    optimizer,
+    weak_slice: Optional[slice],
+    strong_slice: Optional[slice],
+    mean_teacher: bool = True,
+    rampup_length: int = 0,
+    max_consistency_cost: float = 2.0,
+    ema_alpha: float = 0.999,
+    frontend=None,
+    scaler_mean=None,
+    scaler_std=None,
+    noise_std: float = 0.25,
+    donate: bool = True,
+):
+    """Build the jitted step.
+
+    Batch dict:
+      * fused-frontend mode (frontend given): {"audio": [B, Lp] reflect-padded,
+        "frames": [B] valid frame counts, "target": [B, T', C]}
+      * precomputed mode: {"features": [B, T, F] normalized log-mel,
+        optional "features_teacher", "target"}
+
+    Returns step_fn(state, batch, rng) → (state, metrics dict of scalars).
+    """
+    if scaler_mean is not None:
+        scaler_mean = jnp.asarray(scaler_mean, jnp.float32)
+        scaler_std = jnp.asarray(scaler_std, jnp.float32)
+
+    def featurize(batch, rng):
+        if frontend is None:
+            student = batch["features"]
+            teacher = batch.get("features_teacher", student)
+            return student, teacher
+        if mean_teacher:
+            student, teacher = frontend.log_mel_pair(
+                batch["audio"], batch["frames"], rng, noise_std
+            )
+        else:
+            student = frontend.log_mel(batch["audio"], batch["frames"])
+            teacher = student
+        if scaler_mean is not None:
+            student = (student - scaler_mean) / scaler_std
+            teacher = (teacher - scaler_mean) / scaler_std
+        return student, teacher
+
+    def step_fn(state: TrainState, batch: Dict, rng):
+        rng_feat, rng_student, rng_teacher = jax.random.split(rng, 3)
+        student_x, teacher_x = featurize(batch, rng_feat)
+        target = batch["target"]
+        metrics = {}
+
+        if mean_teacher:
+            strong_t, weak_t, ema_bn_state = model.apply(
+                state.ema_params, state.ema_bn_state, teacher_x, train=True, rng=rng_teacher
+            )
+            strong_t = jax.lax.stop_gradient(strong_t)
+            weak_t = jax.lax.stop_gradient(weak_t)
+            rampup = sigmoid_rampup(state.step.astype(jnp.float32), rampup_length)
+            cons_weight = max_consistency_cost * rampup
+        else:
+            ema_bn_state = state.ema_bn_state
+
+        def loss_fn(params):
+            strong_s, weak_s, bn_state = model.apply(
+                params, state.bn_state, student_x, train=True, rng=rng_student
+            )
+            loss = jnp.float32(0.0)
+            m = {}
+            if weak_slice is not None:
+                wl = losses.weak_bce(weak_s, target, weak_slice)
+                m["weak_class_loss"] = wl
+                loss += wl
+            if strong_slice is not None:
+                sl = losses.strong_bce(strong_s, target, strong_slice)
+                m["strong_class_loss"] = sl
+                loss += sl
+            if mean_teacher:
+                cs = cons_weight * losses.mse(strong_s, strong_t)
+                cw = cons_weight * losses.mse(weak_s, weak_t)
+                m["consistency_strong"] = cs
+                m["consistency_weak"] = cw
+                m["consistency_weight"] = cons_weight
+                loss += cs + cw
+            m["loss"] = loss
+            return loss, (bn_state, m)
+
+        grads, (bn_state, m) = jax.grad(loss_fn, has_aux=True)(state.params)
+        metrics.update(m)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if mean_teacher:
+            ema_params = ema_update(params, state.ema_params, state.step, ema_alpha)
+            # teacher-side eval losses, metered like the reference
+            # (main.py:101-121) — no gradient flows here
+            if weak_slice is not None:
+                metrics["weak_ema_class_loss"] = losses.weak_bce(weak_t, target, weak_slice)
+            if strong_slice is not None:
+                metrics["strong_ema_class_loss"] = losses.strong_bce(strong_t, target, strong_slice)
+        else:
+            ema_params = state.ema_params
+
+        new_state = TrainState(
+            params, bn_state, ema_params, ema_bn_state, opt_state, state.step + 1
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_features(frontend, scaler_mean=None, scaler_std=None):
+    """Jitted inference featurization (no augmentation)."""
+    if scaler_mean is not None:
+        scaler_mean = jnp.asarray(scaler_mean, jnp.float32)
+        scaler_std = jnp.asarray(scaler_std, jnp.float32)
+
+    @jax.jit
+    def featurize(audio, frames):
+        x = frontend.log_mel(audio, frames)
+        if scaler_mean is not None:
+            x = (x - scaler_mean) / scaler_std
+        return x
+
+    return featurize
+
+
+def make_predict_step(model):
+    """Jitted batched inference: features → (strong probs, weak probs).
+    Replaces the reference's per-clip batch-1 loop
+    (evaluation_measures.py:203-231) with full batches."""
+
+    @jax.jit
+    def predict(params, bn_state, features):
+        strong, weak, _ = model.apply(params, bn_state, features, train=False)
+        return strong, weak
+
+    return predict

@@ -1,0 +1,76 @@
+"""Decode path tests: threshold → median → run-length → seconds → TSV
+(reference get_predictions, evaluation_measures.py:203-231)."""
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from dcase2019_task4_tpu.data.encoder import LabelCodec
+from dcase2019_task4_tpu.eval.decode import (
+    binarize_and_median,
+    decode_batch,
+    grids_to_dataframe,
+    predictions_to_tsv,
+)
+
+CLASSES = ["Cat", "Dog", "Speech"]
+SCALE = 8 / (44100 / 511)  # pooled frame → seconds
+
+
+def test_binarize_threshold_strict():
+    probs = jnp.asarray(np.full((1, 108, 3), 0.5, np.float32))
+    out = np.asarray(binarize_and_median(probs))
+    assert out.sum() == 0  # strictly greater than threshold
+
+
+def test_median_removes_blips():
+    probs = np.zeros((1, 108, 3), np.float32)
+    probs[0, 50, 0] = 0.9  # single-frame blip
+    probs[0, 10:30, 1] = 0.9  # solid event
+    out = np.asarray(binarize_and_median(jnp.asarray(probs)))
+    assert out[0, :, 0].sum() == 0
+    assert out[0, 10:30, 1].all()
+
+
+def test_decode_batch_to_seconds():
+    codec = LabelCodec(CLASSES, n_frames=108)
+    probs = np.zeros((2, 108, 3), np.float32)
+    probs[0, 10:30, 1] = 0.9  # Dog event frames [10, 30)
+    probs[1, 0:108, 2] = 0.7  # Speech full clip
+    df = decode_batch(probs, ["a.wav", "b.wav"], codec)
+    assert list(df.columns) == ["event_label", "onset", "offset", "filename"]
+    dog = df[df.filename == "a.wav"].iloc[0]
+    assert dog.event_label == "Dog"
+    np.testing.assert_allclose(dog.onset, 10 * SCALE)
+    np.testing.assert_allclose(dog.offset, 30 * SCALE)
+    speech = df[df.filename == "b.wav"].iloc[0]
+    np.testing.assert_allclose(speech.offset, 108 * SCALE)  # ≈ 10.01 s
+
+
+def test_no_events_empty_dataframe():
+    codec = LabelCodec(CLASSES, n_frames=108)
+    df = decode_batch(np.zeros((1, 108, 3), np.float32), ["x.wav"], codec)
+    assert df.empty
+
+
+def test_tsv_roundtrip(tmp_path):
+    codec = LabelCodec(CLASSES, n_frames=108)
+    probs = np.zeros((1, 108, 3), np.float32)
+    probs[0, 40:80, 0] = 1.0
+    df = decode_batch(probs, ["y.wav"], codec)
+    p = tmp_path / "pred.tsv"
+    predictions_to_tsv(df, str(p))
+    back = pd.read_csv(p, sep="\t")
+    assert list(back.columns) == ["event_label", "onset", "offset", "filename"]
+    np.testing.assert_allclose(back.onset[0], df.onset.iloc[0])
+
+
+def test_grids_to_dataframe_multiple_events():
+    codec = LabelCodec(CLASSES, n_frames=20)
+    grid = np.zeros((1, 20, 3), np.float32)
+    grid[0, 2:5, 0] = 1
+    grid[0, 8:12, 0] = 1
+    df = grids_to_dataframe(grid, ["z.wav"], codec, 44100, 511, 8)
+    assert len(df) == 2
+    np.testing.assert_allclose(sorted(df.onset), [2 * SCALE, 8 * SCALE])

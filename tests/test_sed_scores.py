@@ -1,0 +1,115 @@
+"""SED metric tests: collar matching, zero-score handling, segment grids.
+
+Hand-built cases with known tp/fp/fn, following the sed_eval definitions
+the reference depends on (evaluation_measures.py:124-182: t_collar 200 ms,
+offset collar max(200 ms, 20 % length), 1 s segments)."""
+
+import numpy as np
+import pandas as pd
+
+from dcase2019_task4_tpu.eval.sed_scores import (
+    compute_strong_metrics,
+    event_based_metrics,
+    segment_based_metrics,
+)
+
+
+def _df(rows):
+    return pd.DataFrame(rows, columns=["filename", "onset", "offset", "event_label"])
+
+
+def test_exact_match_perfect_f1():
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    est = _df([("a.wav", 1.0, 2.0, "Dog")])
+    m = event_based_metrics(ref, est)
+    assert m.macro_f_measure() == 1.0
+
+
+def test_onset_collar_boundary():
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    inside = _df([("a.wav", 1.19, 2.0, "Dog")])
+    outside = _df([("a.wav", 1.25, 2.0, "Dog")])
+    assert event_based_metrics(ref, inside).macro_f_measure() == 1.0
+    assert event_based_metrics(ref, outside).macro_f_measure() == 0.0
+
+
+def test_offset_collar_percentage_of_length():
+    # 10 s event → offset collar max(0.2, 0.2·10) = 2 s
+    ref = _df([("a.wav", 0.0, 10.0, "Dog")])
+    est = _df([("a.wav", 0.0, 8.5, "Dog")])
+    assert event_based_metrics(ref, est).macro_f_measure() == 1.0
+    est2 = _df([("a.wav", 0.0, 7.5, "Dog")])
+    assert event_based_metrics(ref, est2).macro_f_measure() == 0.0
+
+
+def test_one_to_one_matching():
+    # two identical system events can't both match one reference event
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    est = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 1.05, 2.05, "Dog")])
+    m = event_based_metrics(ref, est)
+    cc = m.counts["Dog"]
+    assert cc.tp == 1 and cc.n_sys == 2 and cc.n_ref == 1
+    # P=0.5, R=1 → F=2/3
+    np.testing.assert_allclose(m.macro_f_measure(), 2 / 3)
+
+
+def test_bipartite_matching_optimal():
+    # greedy on ref order could match ref0→est0 and leave ref1 unmatched;
+    # optimal matching pairs ref0→est1, ref1→est0 (both tp)
+    ref = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 1.1, 2.1, "Dog")])
+    est = _df([("a.wav", 1.1, 2.1, "Dog"), ("a.wav", 0.95, 1.95, "Dog")])
+    m = event_based_metrics(ref, est)
+    assert m.counts["Dog"].tp == 2
+
+
+def test_wrong_class_no_match():
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    est = _df([("a.wav", 1.0, 2.0, "Cat")])
+    m = event_based_metrics(ref, est)
+    # classes = {Dog, Cat}; Dog: fn, Cat: fp → both F=0
+    assert m.macro_f_measure() == 0.0
+
+
+def test_empty_system_zero_score():
+    ref = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 3.0, 4.0, "Cat")])
+    est = _df([("a.wav", 1.0, 2.0, "Dog")])
+    m = event_based_metrics(ref, est)
+    assert m.counts["Dog"].f_measure == 1.0
+    assert m.counts["Cat"].f_measure == 0.0
+    np.testing.assert_allclose(m.macro_f_measure(), 0.5)
+
+
+def test_macro_average_across_files():
+    ref = _df([("a.wav", 0.0, 1.0, "Dog"), ("b.wav", 0.0, 1.0, "Dog")])
+    est = _df([("a.wav", 0.0, 1.0, "Dog")])
+    m = event_based_metrics(ref, est)
+    cc = m.counts["Dog"]
+    assert cc.tp == 1 and cc.n_ref == 2 and cc.n_sys == 1
+    # P=1, R=0.5 → F=2/3
+    np.testing.assert_allclose(m.macro_f_measure(), 2 / 3)
+
+
+def test_segment_based_basic():
+    ref = _df([("a.wav", 0.0, 3.0, "Dog")])
+    est = _df([("a.wav", 0.0, 2.0, "Dog")])
+    m = segment_based_metrics(ref, est, 1.0)
+    cc = m.counts["Dog"]
+    assert cc.tp == 2 and cc.n_ref == 3 and cc.n_sys == 2
+    # P=1, R=2/3 → F = 0.8
+    np.testing.assert_allclose(cc.f_measure, 0.8)
+
+
+def test_segment_partial_overlap_activates_segment():
+    ref = _df([("a.wav", 0.5, 1.2, "Dog")])  # touches segments 0 and 1
+    est = _df([("a.wav", 0.9, 1.1, "Dog")])
+    m = segment_based_metrics(ref, est, 1.0)
+    cc = m.counts["Dog"]
+    assert cc.n_ref == 2 and cc.n_sys == 2 and cc.tp == 2
+
+
+def test_compute_strong_metrics_returns_event_metrics():
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    est = _df([("a.wav", 1.0, 2.0, "Dog")])
+    m = compute_strong_metrics(est, ref)
+    assert m.results_class_wise_average_metrics()["f_measure"]["f_measure"] == 1.0
+    assert "macro F1" in str(m)
