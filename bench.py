@@ -1,0 +1,225 @@
+"""Benchmark: clips/sec/chip for the fused mel+CRNN Mean-Teacher train step.
+
+Measures the COMPLETE per-clip training cost on one chip — host batch feed,
+on-device featurization (STFT→mel→log→normalize + teacher noise), student +
+EMA-teacher forwards, losses, backward, Adam, EMA update — against the
+reference pipeline's equivalent work measured with torch on this host's CPU
+(the reference has no TPU path; its published repo gives quality numbers
+only, SURVEY.md §6, so the local torch measurement is the baseline).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+The torch baseline is measured once and cached in BASELINE_local.json
+(delete to re-measure).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BASELINE_local.json")
+BATCH = 24  # reference recipe batch size (config.py:43)
+N_STEPS = 30
+WARMUP = 5
+
+
+def _synth_batch_audio(batch, n_samples, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((batch, n_samples)) * 0.1).astype(np.float32)
+
+
+# --------------------------------------------------------------- baseline
+
+
+def measure_torch_baseline():
+    """Reference-equivalent step on CPU torch: librosa-style featurization
+    (torch.stft + mel matmul + log) + CRNN fwd/bwd + Adam + EMA."""
+    import torch
+    import torch.nn as nn
+
+    from dcase2019_task4_tpu.ops.mel import mel_filterbank
+
+    SR, NFFT, HOP, NMELS, T = 44100, 2048, 511, 64, 864
+
+    class GLU(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.linear = nn.Linear(ch, ch)
+
+        def forward(self, x):
+            lin = self.linear(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            return lin * torch.sigmoid(x)
+
+    def crnn():
+        layers = []
+        in_ch = 1
+        for _ in range(3):
+            layers += [nn.Conv2d(in_ch, 64, 3, 1, 1), nn.BatchNorm2d(64, eps=1e-3, momentum=0.99),
+                       GLU(64), nn.Dropout(0.5), nn.AvgPool2d((2, 4))]
+            in_ch = 64
+        cnn = nn.Sequential(*layers)
+
+        class M(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.cnn = cnn
+                self.rnn = nn.GRU(64, 64, num_layers=2, bidirectional=True, batch_first=True)
+                self.drop = nn.Dropout(0.5)
+                self.dense = nn.Linear(128, 10)
+                self.dense_softmax = nn.Linear(128, 10)
+
+            def forward(self, x):
+                x = self.cnn(x).squeeze(-1).permute(0, 2, 1)
+                x, _ = self.rnn(x)
+                x = self.drop(x)
+                strong = torch.sigmoid(self.dense(x))
+                sof = torch.softmax(self.dense_softmax(x), -1).clamp(1e-7, 1)
+                weak = (strong * sof).sum(1) / sof.sum(1)
+                return strong, weak
+
+        return M()
+
+    student, teacher = crnn().train(), crnn().train()
+    for p in teacher.parameters():
+        p.requires_grad_(False)
+    opt = torch.optim.Adam(student.parameters(), lr=1e-3)
+    bce, mse = nn.BCELoss(), nn.MSELoss()
+    win = torch.from_numpy(np.hamming(NFFT).astype(np.float32))
+    melmat = torch.from_numpy(mel_filterbank(SR, NFFT, NMELS, 0.0, SR / 2))
+
+    def featurize(audio):
+        s = torch.stft(audio, NFFT, HOP, window=win, center=True,
+                       pad_mode="reflect", return_complex=True).abs()
+        mel = torch.einsum("bkt,km->btm", s, melmat)[:, :T]
+        db = 20 * torch.log10(torch.clamp(mel, min=1e-5))
+        db = torch.maximum(db, db.amax(dim=(1, 2), keepdim=True) - 80.0)
+        return db[:, None]  # NCHW
+
+    audio = torch.from_numpy(_synth_batch_audio(BATCH, 441000))
+    target = torch.zeros(BATCH, 108, 10)
+    target[-6:, 20:60, 1] = 1.0
+    target_weak = target.amax(1)
+
+    def step():
+        x = featurize(audio)
+        noisy = x + torch.randn_like(x).abs() * 0.25
+        with torch.no_grad():
+            st_t, wk_t = teacher(noisy)
+        st, wk = student(x)
+        loss = bce(wk[:6], target_weak[:6]) + bce(st[-6:], target[-6:]) \
+            + 2.0 * (mse(st, st_t) + mse(wk, wk_t))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            for pt, ps in zip(teacher.parameters(), student.parameters()):
+                pt.mul_(0.999).add_(ps, alpha=0.001)
+
+    n_meas = 6
+    step()  # warmup
+    t0 = time.time()
+    for _ in range(n_meas):
+        step()
+    dt = time.time() - t0
+    return BATCH * n_meas / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_clips_per_sec"]
+    clips_per_sec = measure_torch_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({
+            "torch_cpu_clips_per_sec": clips_per_sec,
+            "note": "reference-equivalent mel+CRNN mean-teacher step, torch CPU, batch 24",
+        }, f, indent=1)
+    return clips_per_sec
+
+
+# -------------------------------------------------------------------- jax
+
+
+def measure_tpu():
+    import jax
+    import optax
+
+    from dcase2019_task4_tpu.config import Config
+    from dcase2019_task4_tpu.models.crnn import CRNN
+    from dcase2019_task4_tpu.ops.mel import MelFrontend
+    from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
+
+    cfg = Config()
+    d, t = cfg.dsp, cfg.train
+    model = CRNN(cfg.model)
+    frontend = MelFrontend(
+        sample_rate=d.sample_rate, n_window=d.n_window, hop_length=d.hop_length,
+        n_mels=d.n_mels, f_min=d.f_min, f_max=d.f_max, max_frames=d.max_frames,
+    )
+    optimizer = optax.adam(t.lr, b1=t.beta1, b2=t.beta2, eps=t.adam_eps)
+    step = make_train_step(
+        model, optimizer, slice(0, 6), slice(18, 24),
+        mean_teacher=True, rampup_length=100 * 300,
+        frontend=frontend,
+        scaler_mean=np.zeros(d.n_mels, np.float32),
+        scaler_std=np.ones(d.n_mels, np.float32),
+        noise_std=t.noise_std,
+    )
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0), with_ema=True)
+
+    target = np.zeros((BATCH, d.max_frames // 8, 10), np.float32)
+    target[:6, :, 0] = 1.0
+    target[6:18] = -1.0
+    target[18:, 20:60, 1] = 1.0
+    batches = []
+    for i in range(4):  # rotate a few host batches (realistic feed)
+        batches.append({
+            "audio": _synth_batch_audio(BATCH, d.max_samples + d.n_window, seed=i),
+            "frames": np.full((BATCH,), d.max_frames, np.int32),
+            "target": target,
+        })
+    rng = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batches[i % 4], sub)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for i in range(N_STEPS):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batches[i % 4], sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    assert np.isfinite(float(metrics["loss"]))
+    return BATCH * N_STEPS / dt
+
+
+def main():
+    device_kind = "unknown"
+    try:
+        import jax
+
+        device_kind = jax.devices()[0].device_kind
+    except Exception:
+        pass
+    value = measure_tpu()
+    try:
+        baseline = get_baseline()
+    except Exception as e:
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline = None
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": f"mean-teacher train step throughput, fused mel frontend, batch {BATCH} ({device_kind})",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

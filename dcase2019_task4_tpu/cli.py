@@ -1,0 +1,143 @@
+"""Command-line entry points.
+
+Flag surfaces mirror the reference scripts:
+  * train-meanteacher ≈ main.py        (-s/--subpart_data, -n/--no_synthetic)
+  * train-crnn        ≈ main_simple_CRNN.py (-s, -n/--no_weak)
+  * evaluate          ≈ TestModel.py   (-m/--model_path, -s, -p/--save_predictions_fname)
+  * download          ≈ download_data.py
+
+Extra flags (new capability): --epochs, --synthetic_audio (fabricated
+class-consistent audio when the DESED wavs are absent), --data_parallel
+(shard the batch over all visible devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from dcase2019_task4_tpu.config import Config
+from dcase2019_task4_tpu.utils.logger import get_logger
+
+
+def _common_train_args(parser):
+    parser.add_argument("-s", "--subpart_data", type=int, default=None,
+                        help="Number of files per set (smoke-scale runs).")
+    parser.add_argument("--epochs", type=int, default=None, help="Override n_epoch.")
+    parser.add_argument("--store_dir", type=str, default=None)
+    parser.add_argument("--synthetic_audio", action="store_true", default=False,
+                        help="Fabricate class-consistent audio instead of reading wavs.")
+    parser.add_argument("--data_parallel", action="store_true", default=False,
+                        help="Shard batches over all visible devices (GSPMD).")
+    parser.add_argument("--seed", type=int, default=0)
+
+
+def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=False):
+    from dcase2019_task4_tpu.train.experiment import Experiment
+
+    mesh = None
+    if args.data_parallel:
+        from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    cfg = Config()
+    return Experiment(
+        cfg,
+        mean_teacher=mean_teacher,
+        no_synthetic=no_synthetic,
+        no_weak=no_weak,
+        subpart_data=args.subpart_data,
+        synthetic_audio=args.synthetic_audio,
+        mesh=mesh,
+        seed=args.seed,
+    )
+
+
+def train_meanteacher(argv=None):
+    parser = argparse.ArgumentParser(description="Mean-Teacher CRNN training (main.py parity)")
+    _common_train_args(parser)
+    parser.add_argument("-n", "--no_synthetic", action="store_true", default=False,
+                        help="Not using synthetic labels during training")
+    args = parser.parse_args(argv)
+    log = get_logger()
+    log.info("MEAN TEACHER")
+    log.info(f"subpart_data = {args.subpart_data}")
+    log.info(f"Using synthetic data = {not args.no_synthetic}")
+    tag = "_no_synthetic" if args.no_synthetic else "_with_synthetic"
+    store = args.store_dir or os.path.join(Config().paths.store_dir, "MeanTeacher" + tag)
+    exp = _build_experiment(args, mean_teacher=True, no_synthetic=args.no_synthetic)
+    exp.build()
+    result = exp.run(store_dir=store, n_epoch=args.epochs)
+    # final test on validation + public eval (main.py:356-373)
+    _final_test(exp, store, args)
+    return result
+
+
+def train_crnn(argv=None):
+    parser = argparse.ArgumentParser(description="Supervised CRNN training (main_simple_CRNN.py parity)")
+    _common_train_args(parser)
+    parser.add_argument("-n", "--no_weak", action="store_true", default=False,
+                        help="Not using weak labels during training")
+    args = parser.parse_args(argv)
+    log = get_logger()
+    log.info("Simple CRNNs")
+    tag = "_synthetic_only" if args.no_weak else "_with_weak"
+    store = args.store_dir or os.path.join(Config().paths.store_dir, "simple_CRNN" + tag)
+    exp = _build_experiment(args, mean_teacher=False, no_weak=args.no_weak)
+    exp.build()
+    result = exp.run(store_dir=store, n_epoch=args.epochs)
+    _final_test(exp, store, args)
+    return result
+
+
+def _final_test(exp, store, args):
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+
+    best = os.path.join(store, "model", "baseline_best")
+    if not os.path.exists(best):
+        return
+    pred_dir = os.path.join(store, "predictions")
+    os.makedirs(pred_dir, exist_ok=True)
+    ev = CheckpointEvaluator(best, synthetic_audio=args.synthetic_audio)
+    ev.test_model(exp.cfg.paths.validation, args.subpart_data,
+                  os.path.join(pred_dir, "baseline_validation.tsv"))
+    ev.test_model(exp.cfg.paths.eval_desed, args.subpart_data,
+                  os.path.join(pred_dir, "baseline_eval2019.tsv"))
+
+
+def evaluate(argv=None):
+    parser = argparse.ArgumentParser(description="Checkpoint evaluation (TestModel.py parity)")
+    parser.add_argument("-m", "--model_path", type=str, required=True,
+                        help="Checkpoint to evaluate.")
+    parser.add_argument("-s", "--subpart_data", type=int, default=None)
+    parser.add_argument("-p", "--save_predictions_fname", type=str, default=None)
+    parser.add_argument("--synthetic_audio", action="store_true", default=False)
+    parser.add_argument("--sets", type=str, nargs="*", default=None,
+                        help="TSV paths; default: eval2018, validation, public eval")
+    args = parser.parse_args(argv)
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+
+    ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio)
+    paths = ev.cfg.paths
+    sets = args.sets or [paths.eval2018, paths.validation, paths.eval_desed]
+    results = {}
+    for i, tsv in enumerate(sets):
+        save = args.save_predictions_fname if i == len(sets) - 1 else None
+        results[tsv] = {
+            k: v for k, v in ev.test_model(tsv, args.subpart_data, save).items()
+            if k != "predictions"
+        }
+    return results
+
+
+def download(argv=None):
+    parser = argparse.ArgumentParser(description="DESED audio download (download_data.py parity)")
+    parser.add_argument("--sets", type=str, nargs="*", default=None)
+    parser.add_argument("--n_jobs", type=int, default=3)
+    parser.add_argument("--chunk_size", type=int, default=10)
+    args = parser.parse_args(argv)
+    from dcase2019_task4_tpu.data.download import download_sets
+
+    cfg = Config()
+    sets = args.sets or [cfg.paths.validation, cfg.paths.weak, cfg.paths.unlabel]
+    return download_sets(cfg, sets, n_jobs=args.n_jobs, chunk_size=args.chunk_size)

@@ -1,0 +1,124 @@
+"""Checkpoint evaluation: the framework's TestModel equivalent
+(TestModel.py:25-62): rebuild model + scaler + codec from a checkpoint,
+run batched inference over a named TSV set, decode to a predictions TSV,
+score with the native event/segment metrics and weak tagging F1."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import optax
+
+from dcase2019_task4_tpu.config import Config, DSPConfig, ModelConfig, PathsConfig, TrainConfig
+from dcase2019_task4_tpu.data.audio_io import SyntheticAudioSource, WavAudioSource
+from dcase2019_task4_tpu.data.encoder import LabelCodec
+from dcase2019_task4_tpu.data.manifests import load_manifest, subpart_manifest
+from dcase2019_task4_tpu.data.pipeline import Stream, iter_eval_batches
+from dcase2019_task4_tpu.eval.decode import decode_batch, predictions_to_tsv
+from dcase2019_task4_tpu.eval.sed_scores import compute_strong_metrics
+from dcase2019_task4_tpu.eval.tagging import TaggingF1
+from dcase2019_task4_tpu.models.crnn import CRNN
+from dcase2019_task4_tpu.ops.mel import MelFrontend
+from dcase2019_task4_tpu.train import checkpoints as ckpt
+from dcase2019_task4_tpu.train.steps import init_train_state, make_eval_features, make_predict_step
+from dcase2019_task4_tpu.utils.logger import get_logger
+from dcase2019_task4_tpu.utils.scaler import Scaler
+
+
+def config_from_metadata(meta: Dict) -> Config:
+    c = meta["config"]
+    return Config(
+        paths=PathsConfig(**c["paths"]),
+        dsp=DSPConfig(**c["dsp"]),
+        model=ModelConfig(
+            **{
+                k: (tuple(tuple(x) if isinstance(x, list) else x for x in v) if isinstance(v, list) else v)
+                for k, v in c["model"].items()
+            }
+        ),
+        train=TrainConfig(**c["train"]),
+    )
+
+
+class CheckpointEvaluator:
+    def __init__(self, ckpt_path: str, synthetic_audio: bool = False, logger=None):
+        self.log = logger or get_logger()
+        meta = ckpt.read_metadata(ckpt_path)
+        self.cfg = config_from_metadata(meta)
+        self.meta = meta
+        self.codec = LabelCodec.load_state_dict(meta["many_hot_encoder"])
+        self.scaler = Scaler().load_state_dict(meta["scaler"])
+        self.model = CRNN(self.cfg.model)
+        d = self.cfg.dsp
+        self.frontend = MelFrontend(
+            sample_rate=d.sample_rate, n_window=d.n_window, hop_length=d.hop_length,
+            n_mels=d.n_mels, f_min=d.f_min, f_max=d.f_max, max_frames=d.max_frames,
+            amin=d.amin, top_db=d.top_db,
+        )
+        optimizer = optax.adam(self.cfg.train.lr)
+        template = init_train_state(
+            self.model, optimizer, jax.random.PRNGKey(0), with_ema=meta.get("mean_teacher", True)
+        )
+        self.state, _ = ckpt.restore_checkpoint(ckpt_path, template)
+        self.log.info(f"Model loaded at epoch: {meta['epoch']}")
+        mean, std = self.scaler.mean_std_f32
+        self.eval_features = make_eval_features(self.frontend, mean, std)
+        self.predict = make_predict_step(self.model)
+        self.synthetic_audio = synthetic_audio
+
+    def _stream(self, tsv_path: str, subpart: Optional[int]) -> Stream:
+        m = subpart_manifest(load_manifest(tsv_path), subpart)
+        if self.synthetic_audio:
+            src = SyntheticAudioSource(m, self.codec.labels, self.cfg.dsp.sample_rate,
+                                       self.cfg.dsp.max_len_seconds)
+        else:
+            src = WavAudioSource(self.cfg.paths.audio_dir_for_meta(tsv_path),
+                                 self.cfg.dsp.sample_rate)
+        return Stream(
+            "eval", m, src, self.codec, self.cfg.dsp.sample_rate,
+            self.cfg.dsp.hop_length, self.meta["pooling_time_ratio"],
+        )
+
+    def test_model(self, tsv_path: str, subpart: Optional[int] = None,
+                   save_predictions_fname: Optional[str] = None) -> Dict:
+        """Full evaluation of one TSV set (reference test_model,
+        TestModel.py:25-62): strong decode + event/segment metrics + weak F1."""
+        import pandas as pd
+
+        self.log.info(tsv_path)
+        stream = self._stream(tsv_path, subpart)
+        d = self.cfg.dsp
+        dfs, acc = [], TaggingF1(len(self.codec.labels))
+        params, bn = self.state.params, self.state.bn_state
+        for batch in iter_eval_batches(
+            stream, self.cfg.train.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
+        ):
+            x = self.eval_features(batch["audio"], batch["frames"])
+            strong, weak = self.predict(params, bn, x)
+            nv = batch["n_valid"]
+            dfs.append(
+                decode_batch(
+                    np.asarray(strong)[:nv], batch["filenames"], self.codec,
+                    d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
+                    median_window=self.cfg.train.median_window,
+                )
+            )
+            acc.update(np.asarray(weak)[:nv], batch["target"][:nv])
+        predictions = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
+            columns=["event_label", "onset", "offset", "filename"]
+        )
+        if save_predictions_fname:
+            self.log.info(f"Saving predictions at: {save_predictions_fname}")
+            predictions_to_tsv(predictions, save_predictions_fname)
+        event_metric = compute_strong_metrics(predictions, stream.manifest.df, self.log)
+        weak_f1 = acc.per_class_f1()
+        self.log.info(f"Weak F1-score per class: {dict(zip(self.codec.labels, np.round(weak_f1*100,2)))}")
+        self.log.info(f"Weak F1-score macro averaged: {np.mean(weak_f1):.4f}")
+        return {
+            "event_macro_f1": event_metric.results_class_wise_average_metrics()["f_measure"]["f_measure"],
+            "weak_macro_f1": float(np.mean(weak_f1)),
+            "predictions": predictions,
+        }

@@ -1,0 +1,381 @@
+"""End-to-end experiment assembly: the framework's equivalent of the
+reference entry scripts (main.py:168-373 Mean-Teacher,
+main_simple_CRNN.py:85-295 supervised), re-architected for TPU:
+
+  TSV manifests → packed streams → [device] fused mel frontend → CRNN →
+  losses/EMA in ONE jitted (optionally pjit-sharded) step → batched
+  inference → vectorized decode → native SED scoring → checkpoints/SaveBest.
+
+Stream composition, splits, seeds, loss masks, ramp lengths, optimizer and
+EMA hyperparameters all follow the reference recipe; see inline citations.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dcase2019_task4_tpu.config import Config
+from dcase2019_task4_tpu.data.audio_io import SyntheticAudioSource, WavAudioSource
+from dcase2019_task4_tpu.data.encoder import LabelCodec
+from dcase2019_task4_tpu.data.manifests import (
+    Manifest,
+    load_manifest,
+    split_synthetic,
+    split_weak,
+    subpart_manifest,
+)
+from dcase2019_task4_tpu.data.pipeline import BatchPipeline, Stream, iter_eval_batches
+from dcase2019_task4_tpu.eval.decode import decode_batch, predictions_to_tsv
+from dcase2019_task4_tpu.eval.sed_scores import compute_strong_metrics
+from dcase2019_task4_tpu.eval.tagging import TaggingF1
+from dcase2019_task4_tpu.models.crnn import CRNN
+from dcase2019_task4_tpu.ops.mel import MelFrontend
+from dcase2019_task4_tpu.train import checkpoints as ckpt
+from dcase2019_task4_tpu.train.steps import (
+    TrainState,
+    init_train_state,
+    make_eval_features,
+    make_predict_step,
+    make_train_step,
+)
+from dcase2019_task4_tpu.utils.logger import get_logger
+from dcase2019_task4_tpu.utils.meters import AverageMeterSet, SaveBest
+from dcase2019_task4_tpu.utils.scaler import Scaler
+
+
+class Experiment:
+    def __init__(
+        self,
+        cfg: Config,
+        mean_teacher: bool = True,
+        no_synthetic: bool = False,
+        no_weak: bool = False,
+        subpart_data: Optional[int] = None,
+        synthetic_audio: bool = False,
+        logger=None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.mean_teacher = mean_teacher
+        self.no_synthetic = no_synthetic
+        self.no_weak = no_weak
+        self.subpart_data = subpart_data
+        self.synthetic_audio = synthetic_audio
+        self.log = logger or get_logger()
+        self.mesh = mesh
+        self.seed = seed
+        self.classes = list(cfg.classes)
+        ptr = cfg.model.pooling_time_ratio
+        self.codec = LabelCodec(self.classes, n_frames=cfg.dsp.max_frames // ptr)
+        self.frontend = MelFrontend(
+            sample_rate=cfg.dsp.sample_rate,
+            n_window=cfg.dsp.n_window,
+            hop_length=cfg.dsp.hop_length,
+            n_mels=cfg.dsp.n_mels,
+            f_min=cfg.dsp.f_min,
+            f_max=cfg.dsp.f_max,
+            max_frames=cfg.dsp.max_frames,
+            amin=cfg.dsp.amin,
+            top_db=cfg.dsp.top_db,
+        )
+        self.model = CRNN(cfg.model)
+        self.scaler = Scaler()
+        self._built = False
+
+    # ------------------------------------------------------------ sources
+
+    def _source_for(self, manifest: Manifest, tsv_path: str):
+        if self.synthetic_audio:
+            return SyntheticAudioSource(
+                manifest, self.classes, self.cfg.dsp.sample_rate, self.cfg.dsp.max_len_seconds
+            )
+        return WavAudioSource(
+            self.cfg.paths.audio_dir_for_meta(tsv_path), self.cfg.dsp.sample_rate
+        )
+
+    def _make_stream(self, name: str, manifest: Manifest, tsv_path: str, cache=True) -> Stream:
+        d = self.cfg.dsp
+        return Stream(
+            name,
+            manifest,
+            self._source_for(manifest, tsv_path),
+            self.codec,
+            d.sample_rate,
+            d.hop_length,
+            self.cfg.model.pooling_time_ratio,
+            cache_audio=cache,
+        )
+
+    # -------------------------------------------------------------- build
+
+    def build(self):
+        """Load manifests, make splits (reference seeds), build streams,
+        fit the scaler on device, construct jitted steps."""
+        cfg, t = self.cfg, self.cfg.train
+        p = cfg.paths
+        weak_m = subpart_manifest(load_manifest(p.weak), self.subpart_data, t.subpart_seed)
+        unlabel_m = subpart_manifest(load_manifest(p.unlabel), self.subpart_data, t.subpart_seed)
+        synth_m = subpart_manifest(load_manifest(p.synthetic), self.subpart_data, t.subpart_seed)
+
+        # 80/20 splits, seed 26 (main.py:215-223)
+        train_weak_m, valid_weak_m = split_weak(weak_m, 1 - t.valid_fraction, t.split_seed)
+        train_synth_m, valid_synth_m = split_synthetic(synth_m, 1 - t.valid_fraction, t.split_seed)
+        self.valid_synth_df = valid_synth_m.df
+        self.valid_weak_m = valid_weak_m
+
+        streams: List[Stream] = []
+        batch_sizes: List[int] = []
+        bs = t.batch_size
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        if self.no_weak:
+            # main_simple_CRNN.py -n: synthetic only
+            streams = [self._make_stream("synthetic", train_synth_m, p.synthetic)]
+            batch_sizes = [bs]
+        elif not self.mean_teacher:
+            # main_simple_CRNN.py default: [weak ½ | synthetic ½]
+            streams = [
+                self._make_stream("weak", train_weak_m, p.weak),
+                self._make_stream("synthetic", train_synth_m, p.synthetic),
+            ]
+            batch_sizes = [bs // 2, bs // 2]
+        elif self.no_synthetic:
+            # main.py -n: [weak ¼ | unlabeled ¾] (main.py:242-245)
+            streams = [
+                self._make_stream("weak", train_weak_m, p.weak),
+                self._make_stream("unlabeled", unlabel_m, p.unlabel, cache=False),
+            ]
+            batch_sizes = [bs // 4, 3 * bs // 4]
+        else:
+            # main.py default: [weak ¼ | unlabeled ½ | synthetic ¼]
+            streams = [
+                self._make_stream("weak", train_weak_m, p.weak),
+                self._make_stream("unlabeled", unlabel_m, p.unlabel, cache=False),
+                self._make_stream("synthetic", train_synth_m, p.synthetic),
+            ]
+            batch_sizes = [bs // 4, bs // 2, bs // 4]
+
+        # data-parallel: tile the per-device layout across the mesh
+        global_sizes = [b * n_dev for b in batch_sizes]
+        self.pipeline = BatchPipeline(
+            streams,
+            global_sizes,
+            cfg.dsp.max_samples,
+            cfg.dsp.n_window,
+            cfg.dsp.hop_length,
+            cfg.dsp.max_frames,
+            seed=self.seed,
+        )
+        # loss masks = static slices of the stream layout (main.py:238-247)
+        slices = self.pipeline.stream_slices()
+        names = [s.name for s in streams]
+        self.weak_slice = slices[names.index("weak")] if "weak" in names else None
+        self.strong_slice = slices[names.index("synthetic")] if "synthetic" in names else None
+
+        self.valid_synth_stream = self._make_stream("valid_synth", valid_synth_m, p.synthetic)
+        self.valid_weak_stream = self._make_stream("valid_weak", valid_weak_m, p.weak)
+
+        self._fit_scaler()
+        self._build_steps()
+        self._built = True
+        return self
+
+    def _fit_scaler(self):
+        """Dataset-moment pass on device over all training streams
+        (reference Scaler.calculate_scaler over the ConcatDataset,
+        main.py:249-250 — equal weight per clip, features WITHOUT noise)."""
+        self.log.info("fitting scaler (device pass over training features)")
+        t0 = time.time()
+        feat = make_eval_features(self.frontend)
+        batches = []
+        B = max(self.pipeline.batch_size, 8)
+        d = self.cfg.dsp
+        for stream in self.pipeline.streams:
+            for batch in iter_eval_batches(stream, B, d.max_samples, d.n_window, d.hop_length, d.max_frames):
+                x = np.asarray(feat(batch["audio"], batch["frames"]))
+                batches.append(x[: batch["n_valid"]])
+        self.scaler.fit_batched(batches)
+        self.log.info(f"scaler fit in {time.time() - t0:.1f}s")
+
+    def _build_steps(self):
+        t = self.cfg.train
+        self.optimizer = optax.adam(t.lr, b1=t.beta1, b2=t.beta2, eps=t.adam_eps)
+        # rampup_length = steps/epoch · n_epoch / 2 (main.py:72)
+        rampup_length = len(self.pipeline) * t.n_epoch // 2
+        mean, std = self.scaler.mean_std_f32
+        self.train_step = make_train_step(
+            self.model,
+            self.optimizer,
+            self.weak_slice,
+            self.strong_slice,
+            mean_teacher=self.mean_teacher,
+            rampup_length=rampup_length,
+            max_consistency_cost=t.max_consistency_cost,
+            ema_alpha=t.ema_alpha,
+            frontend=self.frontend,
+            scaler_mean=mean,
+            scaler_std=std,
+            noise_std=t.noise_std if self.mean_teacher else 0.0,
+        )
+        self.eval_features = make_eval_features(self.frontend, mean, std)
+        self.predict_step = make_predict_step(self.model)
+        self.state = init_train_state(
+            self.model, self.optimizer, jax.random.PRNGKey(self.seed), with_ema=self.mean_teacher
+        )
+        if self.mesh is not None:
+            from dcase2019_task4_tpu.parallel.mesh import replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
+
+    # -------------------------------------------------------------- train
+
+    def train_epoch(self, epoch: int) -> AverageMeterSet:
+        """One epoch (reference train(), main.py:52-165): iterate the
+        multi-stream batches, run the fused step, meter scalar losses,
+        assert loss sanity on host (main.py:147-148)."""
+        meters = AverageMeterSet()
+        rng = jax.random.PRNGKey(hash((self.seed, epoch)) % (2**31))
+        start = time.time()
+        n = 0
+        for batch in self.pipeline.iter_epoch(epoch, prefetch=self.cfg.train.num_prefetch):
+            if self.mesh is not None:
+                from dcase2019_task4_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            n += 1
+            if n == 1 or n % 20 == 0 or n == len(self.pipeline):
+                # host sync for the sanity asserts, amortized
+                loss = float(metrics["loss"])
+                assert not (np.isnan(loss) or loss > 1e5), f"Loss explosion: {loss}"
+                assert loss >= 0, "Loss problem, cannot be negative"
+                for k, v in metrics.items():
+                    meters.update(k, float(v))
+        self.log.info(f"Epoch: {epoch}\tTime {time.time() - start:.2f}\t{meters}")
+        return meters
+
+    # ---------------------------------------------------------- validate
+
+    def predict_dataframe(self, stream: Stream, save_predictions: Optional[str] = None):
+        """Batched inference + vectorized decode over a stream → prediction
+        dataframe in seconds (replaces get_predictions,
+        evaluation_measures.py:203-231)."""
+        import pandas as pd
+
+        d = self.cfg.dsp
+        dfs = []
+        params, bn = self.state.params, self.state.bn_state
+        for batch in iter_eval_batches(
+            stream, self.pipeline.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
+        ):
+            x = self.eval_features(batch["audio"], batch["frames"])
+            strong, _ = self.predict_step(params, bn, x)
+            df = decode_batch(
+                np.asarray(strong)[: batch["n_valid"]],
+                batch["filenames"],
+                self.codec,
+                d.sample_rate,
+                d.hop_length,
+                self.cfg.model.pooling_time_ratio,
+                threshold=0.5,
+                median_window=self.cfg.train.median_window,
+            )
+            dfs.append(df)
+        out = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
+            columns=["event_label", "onset", "offset", "filename"]
+        )
+        return predictions_to_tsv(out, save_predictions)
+
+    def weak_f1(self, stream: Stream) -> np.ndarray:
+        """Per-class weak tagging F1 over a stream (get_f_measure_by_class,
+        evaluation_measures.py:19-83)."""
+        d = self.cfg.dsp
+        acc = TaggingF1(len(self.classes))
+        params, bn = self.state.params, self.state.bn_state
+        for batch in iter_eval_batches(
+            stream, self.pipeline.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
+        ):
+            x = self.eval_features(batch["audio"], batch["frames"])
+            _, weak = self.predict_step(params, bn, x)
+            nv = batch["n_valid"]
+            acc.update(np.asarray(weak)[:nv], batch["target"][:nv])
+        return acc.per_class_f1()
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        self.log.info("### Valid synthetic metric ###")
+        predictions = self.predict_dataframe(self.valid_synth_stream)
+        event_metric = compute_strong_metrics(predictions, self.valid_synth_df, self.log)
+        self.log.info("### Valid weak metric ###")
+        weak = self.weak_f1(self.valid_weak_stream)
+        self.log.info(f"Weak F1 per class: {dict(zip(self.classes, np.round(weak * 100, 2)))}")
+        self.log.info(f"Weak F1 macro averaged: {np.mean(weak):.4f}")
+        event_macro = event_metric.results_class_wise_average_metrics()["f_measure"]["f_measure"]
+        return {"event_macro_f1": event_macro, "weak_macro_f1": float(np.mean(weak))}
+
+    # ----------------------------------------------------------- full run
+
+    def checkpoint_metadata(self, epoch: int, valid: Dict) -> Dict:
+        return {
+            "epoch": epoch,
+            "valid_metric": valid,
+            "pooling_time_ratio": self.cfg.model.pooling_time_ratio,
+            "scaler": self.scaler.state_dict(),
+            "many_hot_encoder": self.codec.state_dict(),
+            "config": ckpt.config_to_dict(self.cfg),
+            "mean_teacher": self.mean_teacher,
+        }
+
+    def run(self, store_dir: Optional[str] = None, n_epoch: Optional[int] = None) -> Dict:
+        """The reference's 100-epoch loop with per-epoch validation,
+        checkpointing and SaveBest on event-F1 + weak-F1 (main.py:316-354)."""
+        if not self._built:
+            self.build()
+        t = self.cfg.train
+        n_epoch = n_epoch if n_epoch is not None else t.n_epoch
+        store_dir = store_dir or os.path.join(self.cfg.paths.store_dir, "run")
+        model_dir = os.path.join(store_dir, "model")
+        os.makedirs(model_dir, exist_ok=True)
+        save_best = SaveBest("sup")
+        best_path = os.path.join(model_dir, "baseline_best")
+        last_valid: Dict = {}
+        for epoch in range(n_epoch):
+            self.train_epoch(epoch)
+            last_valid = self.validate(epoch)
+            if self.strong_slice is not None:
+                global_valid = last_valid["event_macro_f1"] + last_valid["weak_macro_f1"]
+            else:
+                global_valid = last_valid["weak_macro_f1"]
+            meta = self.checkpoint_metadata(epoch, last_valid)
+            if t.checkpoint_epochs and (epoch + 1) % t.checkpoint_epochs == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(model_dir, f"baseline_epoch_{epoch}"), self.state, meta
+                )
+            if t.save_best and save_best.apply(global_valid):
+                ckpt.save_checkpoint(best_path, self.state, meta)
+        if t.save_best and os.path.exists(best_path):
+            self.state, meta = ckpt.restore_checkpoint(best_path, self.state)
+            self.log.info(f"testing model: {best_path} (epoch {meta['epoch']})")
+        return last_valid
+
+    # ------------------------------------------------------------ resume
+
+    def restore(self, path: str):
+        if not self._built:
+            self.build()
+        self.state, meta = ckpt.restore_checkpoint(path, self.state)
+        self.scaler.load_state_dict(meta["scaler"])
+        self._build_steps_after_restore(meta)
+        return meta
+
+    def _build_steps_after_restore(self, meta):
+        # scaler changed ⇒ rebuild featurize closures with restored moments
+        mean, std = self.scaler.mean_std_f32
+        self.eval_features = make_eval_features(self.frontend, mean, std)
