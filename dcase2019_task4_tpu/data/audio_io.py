@@ -113,7 +113,6 @@ class SyntheticAudioSource:
                     (cindex[l], on, off) for (l, on, off) in evs if l in cindex
                 ]
         elif manifest.kind == "weak":
-            rng_span = np.random.default_rng(0)
             for f, labels in zip(manifest.filenames, manifest.weak_labels):
                 # weak clips: each labeled class sounds for a stable span
                 evs = []
@@ -121,7 +120,8 @@ class SyntheticAudioSource:
                     if l in cindex:
                         r = np.random.default_rng(_stable_seed("weak-span", f, l))
                         on = r.uniform(0, duration * 0.5)
-                        evs.append((cindex[l], on, on + r.uniform(1.0, duration - on)))
+                        length = r.uniform(duration * 0.3, duration - on)
+                        evs.append((cindex[l], on, on + length))
                 self._events[f] = evs
         else:  # unlabeled: random in-domain events
             for f in manifest.filenames:
@@ -130,7 +130,8 @@ class SyntheticAudioSource:
                 for _ in range(r.integers(1, 4)):
                     c = int(r.integers(0, len(self.classes)))
                     on = r.uniform(0, duration * 0.8)
-                    evs.append((c, on, on + r.uniform(0.5, duration - on)))
+                    length = r.uniform(duration * 0.05, duration - on)
+                    evs.append((c, on, on + length))
                 self._events[f] = evs
 
     def get_audio(self, filename: str) -> np.ndarray:

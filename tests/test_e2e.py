@@ -1,0 +1,81 @@
+"""End-to-end integration: the `--subpart_data`-style tiny run the reference
+uses as its de-facto integration test (SURVEY.md §4.1), on fabricated
+class-consistent audio: manifests → streams → device featurize → train →
+decode → score → checkpoint → evaluate CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dcase2019_task4_tpu.config import Config, DSPConfig, ModelConfig, TrainConfig
+from dcase2019_task4_tpu.train.experiment import Experiment
+
+TINY_CFG = Config(
+    dsp=DSPConfig(max_len_seconds=1.0),
+    model=ModelConfig(nclass=10, nb_filters=(16, 16, 16), n_rnn_cell=16, dropout=0.3),
+    train=TrainConfig(batch_size=8, n_epoch=1, num_prefetch=1),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_exp():
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=12, synthetic_audio=True, seed=0
+    )
+    exp.build()
+    return exp
+
+
+def test_build_stream_composition(tiny_exp):
+    # [weak ¼ | unlabeled ½ | synthetic ¼] of batch 8 (main.py:238-247)
+    assert [s.name for s in tiny_exp.pipeline.streams] == ["weak", "unlabeled", "synthetic"]
+    assert tiny_exp.pipeline.sampler.batch_sizes == [2, 4, 2]
+    assert tiny_exp.weak_slice == slice(0, 2)
+    assert tiny_exp.strong_slice == slice(6, 8)
+
+
+def test_scaler_fitted(tiny_exp):
+    assert tiny_exp.scaler.mean_ is not None
+    assert tiny_exp.scaler.mean_.shape == (64,)
+    assert (tiny_exp.scaler.std_ > 0).all()
+
+
+def test_train_epoch_and_validate(tiny_exp):
+    meters = tiny_exp.train_epoch(0)
+    assert "loss" in meters.meters
+    assert np.isfinite(meters.meters["loss"].avg)
+    metrics = tiny_exp.validate(0)
+    assert 0.0 <= metrics["event_macro_f1"] <= 1.0
+    assert 0.0 <= metrics["weak_macro_f1"] <= 1.0
+
+
+def test_predictions_dataframe_schema(tiny_exp):
+    df = tiny_exp.predict_dataframe(tiny_exp.valid_synth_stream)
+    assert list(df.columns) == ["event_label", "onset", "offset", "filename"]
+    if len(df):
+        assert df.onset.min() >= 0
+        assert set(df.event_label) <= set(tiny_exp.classes)
+
+
+def test_full_run_with_checkpoints(tmp_path, tiny_exp):
+    store = str(tmp_path / "run")
+    tiny_exp.run(store_dir=store, n_epoch=1)
+    model_dir = os.path.join(store, "model")
+    assert os.path.exists(os.path.join(model_dir, "baseline_epoch_0"))
+    assert os.path.exists(os.path.join(model_dir, "baseline_best"))
+
+
+def test_checkpoint_evaluator_roundtrip(tmp_path, tiny_exp):
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+
+    store = str(tmp_path / "run2")
+    tiny_exp.run(store_dir=store, n_epoch=1)
+    best = os.path.join(store, "model", "baseline_best")
+    ev = CheckpointEvaluator(best, synthetic_audio=True)
+    res = ev.test_model(
+        tiny_exp.cfg.paths.validation, subpart=6,
+        save_predictions_fname=str(tmp_path / "preds.tsv"),
+    )
+    assert 0.0 <= res["event_macro_f1"] <= 1.0
+    assert os.path.exists(tmp_path / "preds.tsv")

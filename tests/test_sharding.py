@@ -1,0 +1,83 @@
+"""Data-parallel sharding tests on the 8-device virtual CPU mesh.
+
+New capability vs the reference (strictly single-device, SURVEY.md §2.3):
+the fused train step under GSPMD with batch sharded over the mesh must (a)
+run, (b) match the single-device step numerically (psum'd grads ==
+global-batch grads)."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.flatten_util  # noqa: F401
+import jax.numpy as jnp
+
+from dcase2019_task4_tpu.config import ModelConfig
+from dcase2019_task4_tpu.models.crnn import CRNN
+from dcase2019_task4_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_state,
+    shard_batch,
+    tile_stream_layout,
+)
+from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
+
+TINY = ModelConfig(nclass=3, nb_filters=(8, 8, 8), n_rnn_cell=8, dropout=0.0)
+
+
+def _batch(B, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = rng.standard_normal((B, 64, 64)).astype(np.float32)
+    target = np.zeros((B, 8, 3), np.float32)
+    q = B // 4
+    target[:q, :, 0] = 1.0
+    target[q : 3 * q] = -1.0
+    target[3 * q :, 2:5, 1] = 1.0
+    return {"features": feats, "target": target}
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_tile_stream_layout():
+    sizes, slices = tile_stream_layout([2, 4, 2], 8)
+    assert sizes == [16, 32, 16]
+    assert slices == [slice(0, 16), slice(16, 48), slice(48, 64)]
+
+
+@pytest.mark.parametrize("mean_teacher", [False, True])
+def test_sharded_step_matches_single_device(mean_teacher):
+    B = 32  # 4 per device
+    weak, strong = slice(0, 8), slice(24, 32)
+    model = CRNN(TINY)
+    opt = optax.adam(1e-3)
+    step = make_train_step(model, opt, weak, strong, mean_teacher=mean_teacher,
+                           rampup_length=100, donate=False)
+    state0 = init_train_state(model, opt, jax.random.PRNGKey(0), with_ema=mean_teacher)
+    batch = _batch(B)
+    rng = jax.random.PRNGKey(1)
+
+    # single device
+    s1, m1 = step(state0, batch, rng)
+
+    # sharded over the mesh
+    mesh = make_mesh()
+    state_r = replicate_state(state0, mesh)
+    batch_r = shard_batch(batch, mesh)
+    s2, m2 = step(state_r, batch_r, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    p1 = np.asarray(jax.flatten_util.ravel_pytree(s1.params)[0])
+    p2 = np.asarray(jax.flatten_util.ravel_pytree(s2.params)[0])
+    # f32 reduction-order differences (per-shard partial means + psum vs one
+    # flat mean) pass through Adam's rsqrt; ≤5e-4 on a 1e-3-lr step is noise
+    np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=5e-4)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
