@@ -126,6 +126,9 @@ class ModelConfig:
     # BatchNorm conventions (reference models/CNN.py:52)
     bn_eps: float = 1e-3
     bn_momentum: float = 0.99
+    # MXU compute dtype for conv/GLU ("bfloat16" | "float32"); params, BN
+    # statistics, recurrence, heads and losses stay float32
+    compute_dtype: str = "float32"
 
     @property
     def pooling_time_ratio(self) -> int:

@@ -30,6 +30,41 @@ from dcase2019_task4_tpu.data.sampler import MultiStreamSampler
 from dcase2019_task4_tpu.ops.mel import host_reflect_pad
 
 
+def quantize_audio_int16(audio: np.ndarray) -> np.ndarray:
+    """f32 [-1, 1] → int16 PCM for the host→device link (half the bytes;
+    bit-exact round trip for audio that originated as 16-bit wav)."""
+    return np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def device_prefetch(batch_iter, depth: int = 2, sharding=None):
+    """Asynchronously jax.device_put `depth` batches ahead so host→device
+    transfer overlaps device compute (the TPU analogue of the reference's
+    DataLoader worker prefetch — which it configures but never enables,
+    SURVEY.md §2.3 'num_workers defined but not passed'). With `sharding`,
+    batches land pre-sharded over the mesh."""
+    import collections
+
+    import jax
+
+    def put(b):
+        return jax.device_put(b, sharding) if sharding is not None else jax.device_put(b)
+
+    buf = collections.deque()
+    it = iter(batch_iter)
+    try:
+        while len(buf) < depth:
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class Stream:
     """One data stream (weak / unlabeled / synthetic): filenames, packed
     targets, audio source."""
@@ -92,13 +127,13 @@ class BatchPipeline:
         return self.sampler.stream_slices()
 
     def assemble(self, pairs: np.ndarray) -> Dict[str, np.ndarray]:
-        """pairs: [batch, 2] of (stream_id, idx) → batch dict."""
+        """pairs: [batch, 2] of (stream_id, idx) → batch dict (int16 audio)."""
         audio_list = [self.streams[s].get_audio(i) for s, i in pairs]
         padded, frames = host_reflect_pad(
             audio_list, self.max_samples, self.n_fft, self.hop_length, self.max_frames
         )
         targets = np.stack([self.streams[s].targets[i] for s, i in pairs])
-        return {"audio": padded, "frames": frames, "target": targets}
+        return {"audio": quantize_audio_int16(padded), "frames": frames, "target": targets}
 
     def iter_epoch(self, epoch: int, prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
         """Background-thread prefetch of assembled batches."""
@@ -149,7 +184,7 @@ def iter_eval_batches(
             audio_list, max_samples, n_fft, hop_length, max_frames
         )
         yield {
-            "audio": padded,
+            "audio": quantize_audio_int16(padded),
             "frames": frames,
             "target": np.stack([stream.targets[i] for i in idx]),
             "filenames": [stream.filenames[i] for i in idx[:n_valid]],

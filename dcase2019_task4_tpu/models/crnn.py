@@ -78,9 +78,13 @@ class CRNN:
             x = x[..., None]
         if train and rng is None:
             raise ValueError("rng required in train mode (dropout)")
+        # conv stack inputs in the configured MXU dtype (accumulation is f32
+        # via preferred_element_type); everything stateful or
+        # probability-producing stays f32
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         new_state: Dict = {"cnn": []}
         for i, block in enumerate(params["cnn"]):
-            x = L.conv2d_apply(block["conv"], x, cfg.stride[i], cfg.padding[i])
+            x = L.conv2d_apply(block["conv"], x.astype(compute_dtype), cfg.stride[i], cfg.padding[i])
             x, bn_s = L.batchnorm_apply(
                 block["bn"], state["cnn"][i], x, train, cfg.bn_eps, cfg.bn_momentum
             )
@@ -97,7 +101,7 @@ class CRNN:
             x = x[:, :, 0, :]
         else:
             x = x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
-        x = bigru_apply(params["rnn"], x)
+        x = bigru_apply(params["rnn"], x.astype(jnp.float32))
         if train and cfg.dropout > 0:
             rng, sub = jax.random.split(rng)
             x = L.dropout_apply(sub, x, cfg.dropout, train)

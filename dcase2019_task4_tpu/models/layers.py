@@ -38,13 +38,14 @@ def conv2d_init(key, in_ch: int, out_ch: int, k: int):
 
 
 def conv2d_apply(params, x, stride: int = 1, padding: int = 1):
+    # output dtype follows the input (uniform-dtype conv stack keeps the
+    # backward pass dtype-consistent); the MXU accumulates f32 internally
     out = jax.lax.conv_general_dilated(
         x,
         params["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     return out + params["b"].astype(out.dtype)
 
@@ -72,8 +73,9 @@ def batchnorm_apply(params, state, x, train: bool, eps: float = 1e-3, momentum: 
     Returns (y, new_state)."""
     axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        xf = x.astype(jnp.float32)  # stats accumulate in f32 even for bf16 x
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
@@ -103,17 +105,31 @@ def linear_apply(params, x):
 
 # ------------------------------------------------------------ activations
 
+def _channel_linear(params, x):
+    """Channel-wise linear. On 4-D conv activations this is expressed as a
+    1×1 conv rather than a reshape+matmul: XLA:TPU then keeps the tensor in
+    its conv layout instead of inserting ~8 ms/step of layout-transpose
+    copies around every GLU (measured on v5e, B=96: 98→77 ms/step)."""
+    if x.ndim == 4:
+        w = params["w"].astype(x.dtype)[None, None]  # [1,1,C,C]
+        lin = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return lin + params["b"].astype(x.dtype)
+    return linear_apply(params, x)
+
+
 def glu_apply(params, x):
     """Reference GLU (models/CNN.py:5-16): channel-wise linear of x gated by
     σ(x): out = linear(x) · σ(x). The linear acts on the channel axis, which
     is already last in NHWC — no permutes, unlike the reference's NCHW
     round-trip."""
-    return linear_apply(params, x) * jax.nn.sigmoid(x)
+    return _channel_linear(params, x) * jax.nn.sigmoid(x)
 
 
 def context_gating_apply(params, x):
     """Reference ContextGating (models/CNN.py:19-30): x · σ(linear(x))."""
-    return x * jax.nn.sigmoid(linear_apply(params, x))
+    return x * jax.nn.sigmoid(_channel_linear(params, x))
 
 
 def activation_apply(kind: str, params, x):

@@ -240,15 +240,19 @@ class Experiment:
         """One epoch (reference train(), main.py:52-165): iterate the
         multi-stream batches, run the fused step, meter scalar losses,
         assert loss sanity on host (main.py:147-148)."""
+        from dcase2019_task4_tpu.data.pipeline import device_prefetch
+
         meters = AverageMeterSet()
         rng = jax.random.PRNGKey(hash((self.seed, epoch)) % (2**31))
         start = time.time()
         n = 0
-        for batch in self.pipeline.iter_epoch(epoch, prefetch=self.cfg.train.num_prefetch):
-            if self.mesh is not None:
-                from dcase2019_task4_tpu.parallel.mesh import shard_batch
+        sharding = None
+        if self.mesh is not None:
+            from dcase2019_task4_tpu.parallel.mesh import batch_sharding
 
-                batch = shard_batch(batch, self.mesh)
+            sharding = batch_sharding(self.mesh)
+        host_iter = self.pipeline.iter_epoch(epoch, prefetch=self.cfg.train.num_prefetch)
+        for batch in device_prefetch(host_iter, self.cfg.train.num_prefetch, sharding):
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, batch, sub)
             n += 1

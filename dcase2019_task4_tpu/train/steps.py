@@ -25,6 +25,14 @@ from dcase2019_task4_tpu.train import losses
 from dcase2019_task4_tpu.train.ramps import sigmoid_rampup
 
 
+def dequantize_audio(audio: jnp.ndarray) -> jnp.ndarray:
+    """Audio crosses the host↔device link as int16 PCM (half the bytes of
+    f32, and bit-exact for 16-bit wav sources); dequantize on device."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) * (1.0 / 32768.0)
+    return audio
+
+
 class TrainState(NamedTuple):
     params: Any
     bn_state: Any
@@ -91,12 +99,11 @@ def make_train_step(
             student = batch["features"]
             teacher = batch.get("features_teacher", student)
             return student, teacher
+        audio = dequantize_audio(batch["audio"])
         if mean_teacher:
-            student, teacher = frontend.log_mel_pair(
-                batch["audio"], batch["frames"], rng, noise_std
-            )
+            student, teacher = frontend.log_mel_pair(audio, batch["frames"], rng, noise_std)
         else:
-            student = frontend.log_mel(batch["audio"], batch["frames"])
+            student = frontend.log_mel(audio, batch["frames"])
             teacher = student
         if scaler_mean is not None:
             student = (student - scaler_mean) / scaler_std
@@ -178,7 +185,7 @@ def make_eval_features(frontend, scaler_mean=None, scaler_std=None):
 
     @jax.jit
     def featurize(audio, frames):
-        x = frontend.log_mel(audio, frames)
+        x = frontend.log_mel(dequantize_audio(audio), frames)
         if scaler_mean is not None:
             x = (x - scaler_mean) / scaler_std
         return x
