@@ -29,6 +29,11 @@ def _common_train_args(parser):
                         help="Fabricate class-consistent audio instead of reading wavs.")
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="Shard batches over all visible devices (GSPMD).")
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="bfloat16 conv/frontend compute (throughput mode).")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint to resume training from (true resume — "
+                        "new capability; the reference only re-evaluates).")
     parser.add_argument("--seed", type=int, default=0)
 
 
@@ -41,6 +46,12 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
 
         mesh = make_mesh()
     cfg = Config()
+    if getattr(args, "bf16", False):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        )
     return Experiment(
         cfg,
         mean_teacher=mean_teacher,
@@ -67,7 +78,7 @@ def train_meanteacher(argv=None):
     store = args.store_dir or os.path.join(Config().paths.store_dir, "MeanTeacher" + tag)
     exp = _build_experiment(args, mean_teacher=True, no_synthetic=args.no_synthetic)
     exp.build()
-    result = exp.run(store_dir=store, n_epoch=args.epochs)
+    result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume)
     # final test on validation + public eval (main.py:356-373)
     _final_test(exp, store, args)
     return result
@@ -85,7 +96,7 @@ def train_crnn(argv=None):
     store = args.store_dir or os.path.join(Config().paths.store_dir, "simple_CRNN" + tag)
     exp = _build_experiment(args, mean_teacher=False, no_weak=args.no_weak)
     exp.build()
-    result = exp.run(store_dir=store, n_epoch=args.epochs)
+    result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume)
     _final_test(exp, store, args)
     return result
 

@@ -129,6 +129,9 @@ class ModelConfig:
     # MXU compute dtype for conv/GLU ("bfloat16" | "float32"); params, BN
     # statistics, recurrence, heads and losses stay float32
     compute_dtype: str = "float32"
+    # fused Pallas BN→GLU→dropout→pool block (ops/fused_block.py):
+    # True | False | None = auto (on for single-device TPU with GLU)
+    fused_block: "bool | None" = None
 
     @property
     def pooling_time_ratio(self) -> int:

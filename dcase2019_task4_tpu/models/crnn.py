@@ -82,9 +82,22 @@ class CRNN:
         # via preferred_element_type); everything stateful or
         # probability-producing stays f32
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+        use_fused = cfg.fused_block
+        if use_fused is None:
+            # auto: the Pallas fused block needs a TPU backend; with GLU only
+            use_fused = jax.default_backend() == "tpu" and cfg.activation == "glu"
         new_state: Dict = {"cnn": []}
         for i, block in enumerate(params["cnn"]):
             x = L.conv2d_apply(block["conv"], x.astype(compute_dtype), cfg.stride[i], cfg.padding[i])
+            if use_fused:
+                if train:
+                    rng, sub = jax.random.split(rng)
+                    seed = jax.random.randint(sub, (), 0, 2**31 - 2**20, dtype=jnp.int32)
+                else:
+                    seed = jnp.int32(0)
+                x, bn_s = self._fused_block(block, state["cnn"][i], x, i, seed, train)
+                new_state["cnn"].append(bn_s)
+                continue
             x, bn_s = L.batchnorm_apply(
                 block["bn"], state["cnn"][i], x, train, cfg.bn_eps, cfg.bn_momentum
             )
@@ -113,6 +126,39 @@ class CRNN:
         else:
             weak = strong.mean(axis=1)
         return strong, weak, new_state
+
+    def _fused_block(self, block, bn_state, y, i, seed, train):
+        """Post-conv chain via the fused Pallas kernel (ops/fused_block.py):
+        one HBM pass instead of XLA's several. BN statistics and the
+        running-stat update follow layers.batchnorm_apply exactly."""
+        from dcase2019_task4_tpu.ops.fused_block import fused_bn_glu_dropout_pool
+
+        cfg = self.cfg
+        if train:
+            yf = y.astype(jnp.float32)
+            axes = tuple(range(y.ndim - 1))
+            mean = jnp.mean(yf, axes)
+            var = jnp.var(yf, axes)
+            n = y.size // y.shape[-1]
+            unbiased = var * n / max(n - 1, 1)
+            m = cfg.bn_momentum
+            new_bn = {
+                "mean": (1 - m) * bn_state["mean"] + m * mean,
+                "var": (1 - m) * bn_state["var"] + m * unbiased,
+            }
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            rate = cfg.dropout
+        else:
+            mean, var = bn_state["mean"], bn_state["var"]
+            new_bn = bn_state
+            rate = 0.0
+        out = fused_bn_glu_dropout_pool(
+            y, block["bn"]["scale"], block["bn"]["bias"], mean, var,
+            block["act"]["w"], block["act"]["b"], seed,
+            rate, tuple(cfg.pooling[i]), cfg.bn_eps, train,
+        )
+        return out, new_bn
 
 
 def count_params(params) -> int:

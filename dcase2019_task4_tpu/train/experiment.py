@@ -337,9 +337,17 @@ class Experiment:
             "mean_teacher": self.mean_teacher,
         }
 
-    def run(self, store_dir: Optional[str] = None, n_epoch: Optional[int] = None) -> Dict:
+    def run(
+        self,
+        store_dir: Optional[str] = None,
+        n_epoch: Optional[int] = None,
+        resume_from: Optional[str] = None,
+    ) -> Dict:
         """The reference's 100-epoch loop with per-epoch validation,
-        checkpointing and SaveBest on event-F1 + weak-F1 (main.py:316-354)."""
+        checkpointing and SaveBest on event-F1 + weak-F1 (main.py:316-354).
+        `resume_from` restores a checkpoint (params, EMA, optimizer, step
+        counter, scaler) and continues from the saved epoch — a true resume,
+        which the reference lacks (SURVEY.md §5 checkpoint/resume)."""
         if not self._built:
             self.build()
         t = self.cfg.train
@@ -350,7 +358,12 @@ class Experiment:
         save_best = SaveBest("sup")
         best_path = os.path.join(model_dir, "baseline_best")
         last_valid: Dict = {}
-        for epoch in range(n_epoch):
+        start_epoch = 0
+        if resume_from is not None:
+            meta = self.restore(resume_from)
+            start_epoch = int(meta["epoch"]) + 1
+            self.log.info(f"resumed from {resume_from} at epoch {start_epoch}")
+        for epoch in range(start_epoch, n_epoch):
             self.train_epoch(epoch)
             last_valid = self.validate(epoch)
             if self.strong_slice is not None:

@@ -28,5 +28,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platform_name", "cpu")
+if os.environ.get("DCASE_TPU_TESTS") != "1":
+    # default: hermetic 8-virtual-device CPU suite
+    jax.config.update("jax_platform_name", "cpu")
+# else: run on the real TPU (enables the TPU-gated pallas/dropout tests;
+# the 8-device sharding tests self-skip)
 jax.config.update("jax_default_matmul_precision", "highest")

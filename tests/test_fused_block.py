@@ -1,0 +1,146 @@
+"""Fused Pallas block tests (ops/fused_block.py).
+
+The CPU suite exercises the kernel through Pallas interpret mode for the
+deterministic (no-dropout) paths: forward parity against the jnp twin and
+custom-VJP parity against jnp autodiff (including the BN through-statistics
+backward). The dropout path needs the hardware PRNG (pltpu.prng_seed has no
+CPU lowering) and is validated on TPU: the same checks plus
+extracted-mask gradient parity were run on v5e (see module docstring of
+ops/fused_block.py); a TPU-gated test repeats them when a TPU is present.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcase2019_task4_tpu.ops.fused_block import (
+    fused_bn_glu_dropout_pool,
+    reference_block,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU
+
+B, T, F, C = 2, 8, 8, 64
+POOL = (2, 4)
+EPS = 1e-3
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((B, T, F, C)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    bias = jnp.asarray((rng.standard_normal(C) * 0.1).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((C, C)) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(C) * 0.1).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((B, T // POOL[0], F // POOL[1], C)).astype(np.float32))
+    return y, scale, bias, w, b, ct
+
+
+def test_forward_eval_matches_jnp_twin(inputs):
+    y, scale, bias, w, b, _ = inputs
+    mean = y.mean(axis=(0, 1, 2))
+    var = y.var(axis=(0, 1, 2))
+    out = fused_bn_glu_dropout_pool(
+        y, scale, bias, mean, var, w, b, jnp.int32(1), 0.0, POOL, EPS, False, INTERPRET
+    )
+    ref = reference_block(y, scale, bias, mean, var, w, b, None, 1.0, POOL, EPS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_custom_vjp_matches_autodiff_no_dropout(inputs):
+    y, scale, bias, w, b, ct = inputs
+
+    def loss_pallas(args):
+        yy, sc, bi, ww, bb = args
+        m = jax.lax.stop_gradient(yy.mean(axis=(0, 1, 2)))
+        v = jax.lax.stop_gradient(yy.var(axis=(0, 1, 2)))
+        o = fused_bn_glu_dropout_pool(yy, sc, bi, m, v, ww, bb, jnp.int32(1),
+                                      0.0, POOL, EPS, True, INTERPRET)
+        return jnp.sum(o * ct)
+
+    def loss_ref(args):
+        yy, sc, bi, ww, bb = args
+        m = yy.mean(axis=(0, 1, 2))
+        v = yy.var(axis=(0, 1, 2))
+        o = reference_block(yy, sc, bi, m, v, ww, bb, None, 1.0, POOL, EPS)
+        return jnp.sum(o * ct)
+
+    args = (y, scale, bias, w, b)
+    gp = jax.grad(loss_pallas)(args)
+    gr = jax.grad(loss_ref)(args)
+    for name, a, r in zip(["dy", "dscale", "dbias", "dw", "db"], gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="dropout path needs the TPU PRNG")
+def test_dropout_deterministic_and_grad_consistent_tpu(inputs):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import dcase2019_task4_tpu.ops.fused_block as FB
+
+    y, scale, bias, w, b, ct = inputs
+    seed, rate = 123, 0.5
+    tt = FB._pick_tile(T)
+    nt = T // tt
+
+    def mask_kernel(seed_ref, o_ref):
+        pltpu.prng_seed(FB._seed_for(seed_ref, nt))
+        o_ref[0] = FB._dropout_mask((tt * F, C), rate).reshape(tt, F, C)
+
+    mask = pl.pallas_call(
+        mask_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, nt), in_specs=[],
+            out_specs=pl.BlockSpec((1, tt, F, C), lambda bb, t, *_: (bb, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, F, C), jnp.float32),
+    )(jnp.asarray([seed], jnp.int32))
+
+    def loss_pallas(args):
+        yy, sc, bi, ww, bb = args
+        m = jax.lax.stop_gradient(yy.mean(axis=(0, 1, 2)))
+        v = jax.lax.stop_gradient(yy.var(axis=(0, 1, 2)))
+        o = fused_bn_glu_dropout_pool(yy, sc, bi, m, v, ww, bb, jnp.int32(seed),
+                                      rate, POOL, EPS, True)
+        return jnp.sum(o * ct)
+
+    def loss_ref(args):
+        yy, sc, bi, ww, bb = args
+        m = yy.mean(axis=(0, 1, 2))
+        v = yy.var(axis=(0, 1, 2))
+        o = reference_block(yy, sc, bi, m, v, ww, bb, mask, 1.0 - rate, POOL, EPS)
+        return jnp.sum(o * ct)
+
+    args = (y, scale, bias, w, b)
+    assert float(loss_pallas(args)) == float(loss_pallas(args))  # deterministic
+    np.testing.assert_allclose(float(loss_pallas(args)), float(loss_ref(args)), rtol=1e-5)
+    gp = jax.grad(loss_pallas)(args)
+    gr = jax.grad(loss_ref)(args)
+    for name, a, r in zip(["dy", "dscale", "dbias", "dw", "db"], gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-6, err_msg=name
+        )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="fused CRNN path needs TPU")
+def test_crnn_fused_matches_unfused_eval_tpu():
+    from dcase2019_task4_tpu.config import ModelConfig
+    from dcase2019_task4_tpu.models.crnn import CRNN
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 96, 64)).astype(np.float32)
+    m_f = CRNN(ModelConfig(fused_block=True))
+    m_u = CRNN(ModelConfig(fused_block=False))
+    params, state = m_f.init(jax.random.PRNGKey(0))
+    sf, wf, _ = m_f.apply(params, state, jnp.asarray(x), train=False)
+    su, wu, _ = m_u.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(su), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wf), np.asarray(wu), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,78 @@
+"""Pipeline tests: int16 quantization, device prefetch, eval batching,
+stream packing."""
+
+import numpy as np
+
+from dcase2019_task4_tpu.config import Config, DSPConfig, ModelConfig, TrainConfig
+from dcase2019_task4_tpu.data.encoder import LabelCodec
+from dcase2019_task4_tpu.data.manifests import load_manifest, subpart_manifest
+from dcase2019_task4_tpu.data.audio_io import SyntheticAudioSource, synth_clip
+from dcase2019_task4_tpu.data.pipeline import (
+    BatchPipeline,
+    Stream,
+    device_prefetch,
+    iter_eval_batches,
+    quantize_audio_int16,
+)
+
+CFG = Config(dsp=DSPConfig(max_len_seconds=1.0))
+D = CFG.dsp
+
+
+def test_quantize_roundtrip_pcm16_exact():
+    # values that originated as 16-bit PCM round-trip exactly
+    pcm = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    f = pcm.astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(quantize_audio_int16(f), pcm)
+
+
+def test_quantize_clips_overrange():
+    q = quantize_audio_int16(np.array([1.5, -1.5], np.float32))
+    np.testing.assert_array_equal(q, [32767, -32768])
+
+
+def test_device_prefetch_order_and_completeness():
+    batches = [{"x": np.full((2,), i, np.float32)} for i in range(7)]
+    out = [int(np.asarray(b["x"])[0]) for b in device_prefetch(iter(batches), depth=3)]
+    assert out == list(range(7))
+
+
+def test_device_prefetch_short_iterator():
+    batches = [{"x": np.zeros(1)}]
+    assert len(list(device_prefetch(iter(batches), depth=4))) == 1
+
+
+def _stream(n=5):
+    m = subpart_manifest(load_manifest(CFG.paths.synthetic), n)
+    src = SyntheticAudioSource(m, CFG.classes, D.sample_rate, D.max_len_seconds)
+    codec = LabelCodec(CFG.classes, n_frames=D.max_frames // 8)
+    return Stream("s", m, src, codec, D.sample_rate, D.hop_length, 8, cache_audio=True)
+
+
+def test_eval_batches_pad_last():
+    s = _stream(5)
+    batches = list(iter_eval_batches(s, 4, D.max_samples, D.n_window, D.hop_length, D.max_frames))
+    assert len(batches) == 2
+    assert batches[0]["n_valid"] == 4 and batches[1]["n_valid"] == 1
+    assert batches[1]["audio"].shape[0] == 4  # fixed shape, repeated tail
+    assert len(batches[1]["filenames"]) == 1
+    assert batches[0]["audio"].dtype == np.int16
+
+
+def test_batch_pipeline_layout_and_dtype():
+    s1, s2 = _stream(6), _stream(6)
+    bp = BatchPipeline([s1, s2], [2, 2], D.max_samples, D.n_window, D.hop_length, D.max_frames)
+    batch = next(bp.iter_epoch(0, prefetch=0))
+    assert batch["audio"].shape == (4, D.max_samples + D.n_window)
+    assert batch["audio"].dtype == np.int16
+    assert batch["target"].shape[0] == 4
+    assert batch["frames"].max() <= D.max_frames
+
+
+def test_synth_clip_deterministic_and_class_dependent():
+    a1 = synth_clip("f.wav", [(0, 0.1, 0.5)], 1.0, 8000)
+    a2 = synth_clip("f.wav", [(0, 0.1, 0.5)], 1.0, 8000)
+    b = synth_clip("f.wav", [(3, 0.1, 0.5)], 1.0, 8000)
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, b)
+    assert len(a1) == 8000

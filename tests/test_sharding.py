@@ -37,6 +37,11 @@ def _batch(B, seed=0):
     return {"features": feats, "target": target}
 
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
 def test_mesh_has_8_devices():
     mesh = make_mesh()
     assert mesh.devices.size == 8
