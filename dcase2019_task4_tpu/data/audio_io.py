@@ -150,9 +150,11 @@ class WavAudioSource:
         self.audio_dir = audio_dir
         self.sample_rate = sample_rate
 
-    def get_audio(self, filename: str) -> np.ndarray:
+    def path_for(self, filename: str) -> str:
         import os
 
-        path = os.path.join(self.audio_dir, filename)
-        audio, _ = read_wav(path, self.sample_rate)
+        return os.path.join(self.audio_dir, filename)
+
+    def get_audio(self, filename: str) -> np.ndarray:
+        audio, _ = read_wav(self.path_for(filename), self.sample_rate)
         return audio.astype(np.float32)

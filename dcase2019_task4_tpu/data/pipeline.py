@@ -127,13 +127,55 @@ class BatchPipeline:
         return self.sampler.stream_slices()
 
     def assemble(self, pairs: np.ndarray) -> Dict[str, np.ndarray]:
-        """pairs: [batch, 2] of (stream_id, idx) → batch dict (int16 audio)."""
+        """pairs: [batch, 2] of (stream_id, idx) → batch dict (int16 audio).
+
+        Uses the C++ batch packer (native/wavpack.cpp) when every clip is a
+        plain wav file; files it can't handle (resampling, exotic codecs)
+        fall back to the Python path row by row."""
+        audio, frames = self._pack_audio(pairs)
+        targets = np.stack([self.streams[s].targets[i] for s, i in pairs])
+        return {"audio": audio, "frames": frames, "target": targets}
+
+    def _pack_audio(self, pairs):
+        native_paths = self._native_paths(pairs)
+        if native_paths is not None:
+            from dcase2019_task4_tpu import native
+
+            audio, frames, errors = native.pack_batch(
+                native_paths, self.max_samples, self.n_fft, self.hop_length, 44100
+            )
+            audio = np.array(audio)  # writable (frombuffer is read-only)
+            bad = [k for k, e in enumerate(errors) if e]
+            if bad:
+                clips = [self.streams[pairs[k][0]].get_audio(pairs[k][1]) for k in bad]
+                padded, f2 = host_reflect_pad(
+                    clips, self.max_samples, self.n_fft, self.hop_length, self.max_frames
+                )
+                audio[bad] = quantize_audio_int16(padded)
+                frames = np.array(frames)
+                frames[bad] = f2
+            return audio, frames
         audio_list = [self.streams[s].get_audio(i) for s, i in pairs]
         padded, frames = host_reflect_pad(
             audio_list, self.max_samples, self.n_fft, self.hop_length, self.max_frames
         )
-        targets = np.stack([self.streams[s].targets[i] for s, i in pairs])
-        return {"audio": quantize_audio_int16(padded), "frames": frames, "target": targets}
+        return quantize_audio_int16(padded), frames
+
+    def _native_paths(self, pairs):
+        try:
+            from dcase2019_task4_tpu import native
+
+            if not native.available():
+                return None
+        except Exception:
+            return None
+        paths = []
+        for s, i in pairs:
+            src = self.streams[s].source
+            if not hasattr(src, "path_for"):
+                return None
+            paths.append(src.path_for(self.streams[s].filenames[i]))
+        return paths
 
     def iter_epoch(self, epoch: int, prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
         """Background-thread prefetch of assembled batches."""
