@@ -31,6 +31,9 @@ def _common_train_args(parser):
                         help="Shard batches over all visible devices (GSPMD).")
     parser.add_argument("--bf16", action="store_true", default=False,
                         help="bfloat16 conv/frontend compute (throughput mode).")
+    parser.add_argument("--scaled", action="store_true", default=False,
+                        help="Scaled config: 128 mels, 128-ch convs, 128-cell "
+                        "BiGRU, SpecAugment, bf16 (BASELINE.json config 5).")
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint to resume training from (true resume — "
                         "new capability; the reference only re-evaluates).")
@@ -45,7 +48,12 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
         from dcase2019_task4_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    cfg = Config()
+    if getattr(args, "scaled", False):
+        from dcase2019_task4_tpu.config import scaled_config
+
+        cfg = scaled_config()
+    else:
+        cfg = Config()
     if getattr(args, "bf16", False):
         import dataclasses
 

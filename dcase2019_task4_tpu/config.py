@@ -165,6 +165,12 @@ class TrainConfig:
     split_seed: int = 26  # reference main.py:215,221
     subpart_seed: int = 10  # reference DatasetDcase2019Task4.py:125
     num_prefetch: int = 2
+    # SpecAugment on the student features (scaled config; off for parity)
+    spec_augment: bool = False
+    sa_time_masks: int = 2
+    sa_max_time_width: int = 64
+    sa_freq_masks: int = 2
+    sa_max_freq_width: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,6 +193,23 @@ class Config:
         cfg = dataclasses.replace(self)
         cfg.__dict__["classes"] = tuple(classes)
         return cfg
+
+
+def scaled_config() -> "Config":
+    """The scaled throughput/quality config (BASELINE.json config 5):
+    128 mel bins, 128-channel convs, 128-cell BiGRU, SpecAugment on the
+    student features, bf16 MXU compute — intended for data-parallel
+    training over a slice."""
+    return Config(
+        dsp=DSPConfig(n_mels=128),
+        model=ModelConfig(
+            nb_filters=(128, 128, 128),
+            n_rnn_cell=128,
+            pooling=((2, 4), (2, 4), (2, 8)),  # freq 128 → 1, time ÷8
+            compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(spec_augment=True),
+    )
 
 
 DEFAULT_CLASSES = (

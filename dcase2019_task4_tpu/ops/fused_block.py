@@ -163,15 +163,16 @@ def _bwd_apply_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
 # ------------------------------------------------------------ dispatch
 
 
-def _pick_tile(T: int, prefs=(24, 16, 12, 8, 6, 4, 2)) -> int:
+def _pick_tile(T: int, F: int = 64, C: int = 64) -> int:
     # fwd and bwd MUST use the same tiling: dropout bits are generated
     # per-tile (seeded on the grid position), so the mask layout is part of
-    # the function's semantics. 24 frames/tile keeps the backward (which
-    # holds ~2x the live f32 buffers) inside the 16MB VMEM budget.
-    for tt in prefs:
-        if T % tt == 0:
+    # the function's semantics. The backward holds ~10 live f32 [tt·F, C]
+    # buffers; cap the tile so they fit the 16MB VMEM budget.
+    budget_bytes = 1_100_000  # per [tt·F, C] f32 buffer
+    for tt in (48, 36, 24, 16, 12, 8, 6, 4, 2, 1):
+        if T % tt == 0 and tt * F * C * 4 <= budget_bytes:
             return tt
-    return T
+    return 1
 
 
 def _specs(tt, F, C, pool, B, T):
@@ -196,7 +197,7 @@ def _specs(tt, F, C, pool, B, T):
 def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, train,
                 interpret=False):
     B, T, F, C = y.shape
-    tt = _pick_tile(T)
+    tt = _pick_tile(T, F, C)
     grid, nt, in_specs, out_spec = _specs(tt, F, C, pool, B, T)
     pt, pf = pool
     kernel = functools.partial(
@@ -215,7 +216,7 @@ def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, 
 def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps,
                 train, interpret=False):
     B, T, F, C = y.shape
-    tt = _pick_tile(T)
+    tt = _pick_tile(T, F, C)
     grid, nt, in_specs, _ = _specs(tt, F, C, pool, B, T)
     pt, pf = pool
     dout_spec = pl.BlockSpec(

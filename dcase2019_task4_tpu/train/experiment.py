@@ -210,6 +210,14 @@ class Experiment:
         # rampup_length = steps/epoch · n_epoch / 2 (main.py:72)
         rampup_length = len(self.pipeline) * t.n_epoch // 2
         mean, std = self.scaler.mean_std_f32
+        sa_cfg = None
+        if t.spec_augment:
+            sa_cfg = dict(
+                time_masks=t.sa_time_masks,
+                max_time_width=t.sa_max_time_width,
+                freq_masks=t.sa_freq_masks,
+                max_freq_width=t.sa_max_freq_width,
+            )
         self.train_step = make_train_step(
             self.model,
             self.optimizer,
@@ -223,6 +231,7 @@ class Experiment:
             scaler_mean=mean,
             scaler_std=std,
             noise_std=t.noise_std if self.mean_teacher else 0.0,
+            spec_augment_cfg=sa_cfg,
         )
         self.eval_features = make_eval_features(self.frontend, mean, std)
         self.predict_step = make_predict_step(self.model)

@@ -78,6 +78,7 @@ def make_train_step(
     scaler_mean=None,
     scaler_std=None,
     noise_std: float = 0.25,
+    spec_augment_cfg: Optional[Dict] = None,
     donate: bool = True,
 ):
     """Build the jitted step.
@@ -111,8 +112,12 @@ def make_train_step(
         return student, teacher
 
     def step_fn(state: TrainState, batch: Dict, rng):
-        rng_feat, rng_student, rng_teacher = jax.random.split(rng, 3)
+        rng_feat, rng_sa, rng_student, rng_teacher = jax.random.split(rng, 4)
         student_x, teacher_x = featurize(batch, rng_feat)
+        if spec_augment_cfg:
+            from dcase2019_task4_tpu.ops.specaugment import spec_augment
+
+            student_x = spec_augment(rng_sa, student_x, **spec_augment_cfg)
         target = batch["target"]
         metrics = {}
 
