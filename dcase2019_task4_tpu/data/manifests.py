@@ -163,6 +163,28 @@ def split_synthetic(m: Manifest, frac: float = 0.8, seed: int = 26):
     return manifest_from_df(train_df.reset_index(drop=True)), manifest_from_df(valid_df)
 
 
+def random_split(m: Manifest, lengths: Sequence[int], seed: int = 0):
+    """Split by unique file into non-overlapping manifests of the given
+    sizes (reference random_split, DataLoad.py:461-477)."""
+    if sum(lengths) != len(m.filenames):
+        raise ValueError("Sum of input lengths does not equal the manifest length")
+    perm = np.random.default_rng(seed).permutation(len(m.filenames))
+    out, start = [], 0
+    for n in lengths:
+        keep = {m.filenames[i] for i in perm[start : start + n]}
+        out.append(manifest_from_df(m.df[m.df["filename"].isin(keep)].reset_index(drop=True)))
+        start += n
+    return out
+
+
+def train_valid_split(m: Manifest, validation_amount: float, seed: int = 0):
+    """(train, valid) split (reference train_valid_split,
+    DataLoad.py:480-485)."""
+    n_valid = int(validation_amount * len(m.filenames))
+    train, valid = random_split(m, [len(m.filenames) - n_valid, n_valid], seed)
+    return train, valid
+
+
 def classes_from_manifests(manifests: Sequence[Manifest]) -> List[str]:
     """Union of classes across manifests (reference get_classes,
     DatasetDcase2019Task4.py:108-120). Sorted for determinism."""

@@ -75,3 +75,38 @@ class MultiStreamSampler:
     def iter_epoch(self, epoch: int) -> Iterator[np.ndarray]:
         for batch in self.epoch_batches(epoch):
             yield batch
+
+
+class ClusterRandomSampler:
+    """Whole-batch-per-stream sampler: each batch is drawn entirely from ONE
+    stream (batch-size per stream), batches shuffled globally — the
+    reference's ClusterRandomSampler (DataLoad.py:488-536). Useful when
+    streams must not mix inside a batch (e.g. per-domain BN statistics)."""
+
+    def __init__(self, stream_sizes: Sequence[int], batch_sizes, seed: int = 0, shuffle: bool = True):
+        if isinstance(batch_sizes, int):
+            batch_sizes = [batch_sizes] * len(stream_sizes)
+        assert len(batch_sizes) == len(stream_sizes)
+        self.stream_sizes = list(stream_sizes)
+        self.batch_sizes = list(batch_sizes)
+        self.seed = seed
+        self.shuffle = shuffle
+
+    def __len__(self) -> int:
+        return sum(n // b for n, b in zip(self.stream_sizes, self.batch_sizes))
+
+    def epoch_batches(self, epoch: int) -> List[np.ndarray]:
+        """List of [bs_i, 2] (stream_id, index) batches; short tails dropped
+        like the reference."""
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 7]))
+        batches = []
+        for s, (n, b) in enumerate(zip(self.stream_sizes, self.batch_sizes)):
+            idx = rng.permutation(n) if self.shuffle else np.arange(n)
+            for k in range(n // b):
+                part = idx[k * b : (k + 1) * b]
+                batch = np.stack([np.full(b, s, np.int32), part.astype(np.int32)], axis=1)
+                batches.append(batch)
+        if self.shuffle:
+            order = rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches

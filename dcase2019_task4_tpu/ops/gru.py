@@ -130,3 +130,80 @@ def bigru_apply(params, x):
         o_f, o_b = _gru_scan(g_f, g_b, layer["fwd"], layer["bwd"], hidden)
         out = jnp.concatenate([o_f, o_b], axis=-1)
     return out
+
+
+# ----------------------------------------------------------------- LSTM
+# The reference also ships a (unused) BidirectionalLSTM (models/RNN.py:19-45:
+# nn.LSTM(nIn, nHidden//2, bidirectional) + per-frame Linear embedding);
+# provided here with the same TPU mapping as the GRU: hoisted input GEMMs +
+# one shared scan for both directions. torch gate order (i, f, g, o).
+
+
+def lstm_layer_init(key, input_size: int, hidden: int):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden)
+    w_ih = jnp.concatenate(
+        [_orthogonal(k, (hidden, input_size)) for k in jax.random.split(k1, 4)], axis=0
+    )
+    w_hh = jnp.concatenate(
+        [_orthogonal(k, (hidden, hidden)) for k in jax.random.split(k2, 4)], axis=0
+    )
+    return {
+        "w_ih": w_ih,  # [4H, in] — torch layout, gates (i, f, g, o)
+        "w_hh": w_hh,  # [4H, H]
+        "b_ih": jax.random.uniform(k3, (4 * hidden,), jnp.float32, -bound, bound),
+        "b_hh": jax.random.uniform(k4, (4 * hidden,), jnp.float32, -bound, bound),
+    }
+
+
+def bilstm_init(key, input_size: int, hidden: int, num_layers: int):
+    layers = []
+    for layer in range(num_layers):
+        in_dim = input_size if layer == 0 else 2 * hidden
+        key, kf, kb = jax.random.split(key, 3)
+        layers.append(
+            {"fwd": lstm_layer_init(kf, in_dim, hidden), "bwd": lstm_layer_init(kb, in_dim, hidden)}
+        )
+    return layers
+
+
+def _lstm_scan(gates_fwd, gates_bwd, p_fwd, p_bwd, hidden: int):
+    B, T, _ = gates_fwd.shape
+    H = hidden
+    gates = jnp.concatenate([gates_fwd, gates_bwd], axis=0).transpose(1, 0, 2)
+    w_hh = jnp.stack([p_fwd["w_hh"].T, p_bwd["w_hh"].T])  # [2, H, 4H]
+    b_hh = jnp.stack([p_fwd["b_hh"], p_bwd["b_hh"]])
+    dtype = gates.dtype
+    w_hh = w_hh.astype(dtype)
+    b_hh = b_hh.astype(dtype)
+
+    def step(carry, g_t):
+        h, c = carry
+        h2 = h.reshape(2, B, H)
+        rec = jnp.einsum("dbh,dhk->dbk", h2, w_hh, preferred_element_type=jnp.float32)
+        rec = (rec + b_hh[:, None, :]).reshape(2 * B, 4 * H).astype(dtype)
+        gi, gf, gg, go = jnp.split(g_t + rec, 4, axis=-1)
+        i = jax.nn.sigmoid(gi)
+        f = jax.nn.sigmoid(gf)
+        g = jnp.tanh(gg)
+        o = jax.nn.sigmoid(go)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    init = (jnp.zeros((2 * B, H), dtype), jnp.zeros((2 * B, H), dtype))
+    _, hs = jax.lax.scan(step, init, gates)
+    hs = hs.transpose(1, 0, 2)
+    return hs[:B], hs[B:][:, ::-1]
+
+
+def bilstm_apply(params, x):
+    """[B, T, in] → [B, T, 2H], torch LSTM semantics."""
+    out = x
+    for layer in params:
+        hidden = layer["fwd"]["w_hh"].shape[1]
+        g_f = _direction_gates(layer["fwd"], out)
+        g_b = _direction_gates(layer["bwd"], out[:, ::-1])
+        o_f, o_b = _lstm_scan(g_f, g_b, layer["fwd"], layer["bwd"], hidden)
+        out = jnp.concatenate([o_f, o_b], axis=-1)
+    return out
