@@ -86,3 +86,25 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_host_shard_pairs():
+    from dcase2019_task4_tpu.parallel.multihost import host_shard_pairs
+
+    pairs = np.stack([np.zeros(32, np.int32), np.arange(32, dtype=np.int32)], axis=1)
+    shards = [host_shard_pairs(pairs, p, 4) for p in range(4)]
+    assert all(s.shape == (8, 2) for s in shards)
+    np.testing.assert_array_equal(np.concatenate(shards), pairs)
+    with pytest.raises(AssertionError):
+        host_shard_pairs(pairs, 0, 5)
+
+
+def test_make_global_batch_on_virtual_mesh():
+    from dcase2019_task4_tpu.parallel.multihost import make_global_batch
+
+    mesh = make_mesh()
+    local = {"x": np.arange(16, dtype=np.float32).reshape(16, 1), "n": 3}
+    out = make_global_batch(local, mesh)
+    assert out["n"] == 3
+    assert out["x"].shape == (16, 1)
+    np.testing.assert_array_equal(np.asarray(out["x"]), local["x"])
