@@ -131,12 +131,20 @@ def evaluate(argv=None):
     parser.add_argument("-s", "--subpart_data", type=int, default=None)
     parser.add_argument("-p", "--save_predictions_fname", type=str, default=None)
     parser.add_argument("--synthetic_audio", action="store_true", default=False)
+    parser.add_argument("--torch_checkpoint", action="store_true", default=False,
+                        help="model_path is a reference torch.save checkpoint "
+                        "(imported via train/torch_import.py).")
     parser.add_argument("--sets", type=str, nargs="*", default=None,
                         help="TSV paths; default: eval2018, validation, public eval")
     args = parser.parse_args(argv)
     from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
 
-    ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio)
+    if args.torch_checkpoint:
+        ev = CheckpointEvaluator.from_torch_checkpoint(
+            args.model_path, synthetic_audio=args.synthetic_audio
+        )
+    else:
+        ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio)
     paths = ev.cfg.paths
     sets = args.sets or [paths.eval2018, paths.validation, paths.eval_desed]
     results = {}

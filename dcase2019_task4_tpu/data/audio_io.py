@@ -59,8 +59,9 @@ def _stable_seed(*parts) -> int:
 
 
 def class_tone_bank(class_id: int, n_tones: int = 3) -> np.ndarray:
-    """Distinct fundamental frequencies per class (log-spaced 180–3600 Hz)."""
-    base = 180.0 * (1.26 ** (class_id * n_tones))
+    """Distinct fundamental frequencies per class, log-spaced 150 Hz–4.2 kHz
+    so every class's full tone stack stays well under Nyquist."""
+    base = 150.0 * (1.45**class_id)
     return np.array([base * (1.5**k) for k in range(n_tones)])
 
 

@@ -214,19 +214,19 @@ def iter_eval_batches(
     """Fixed-size batches over an eval stream (last batch padded by
     repeating the final clip; callers slice by `n_valid`). Replaces the
     reference's per-clip batch-1 inference loop
-    (evaluation_measures.py:203-231)."""
+    (evaluation_measures.py:203-231). Uses the C++ batcher when the stream
+    reads plain wav files."""
+    pipeline = BatchPipeline([stream], [batch_size], max_samples, n_fft, hop_length, max_frames)
     n = len(stream)
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
         n_valid = len(idx)
         while len(idx) < batch_size:
             idx.append(idx[-1])
-        audio_list = [stream.get_audio(i) for i in idx]
-        padded, frames = host_reflect_pad(
-            audio_list, max_samples, n_fft, hop_length, max_frames
-        )
+        pairs = np.stack([np.zeros(batch_size, np.int64), np.asarray(idx)], axis=1)
+        audio, frames = pipeline._pack_audio(pairs)
         yield {
-            "audio": quantize_audio_int16(padded),
+            "audio": audio,
             "frames": frames,
             "target": np.stack([stream.targets[i] for i in idx]),
             "filenames": [stream.filenames[i] for i in idx[:n_valid]],

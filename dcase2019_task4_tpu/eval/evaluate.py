@@ -43,31 +43,61 @@ def config_from_metadata(meta: Dict) -> Config:
     )
 
 
+class _EvalState:
+    """Minimal state bundle for inference (params + BN running stats)."""
+
+    def __init__(self, params, bn_state):
+        self.params = params
+        self.bn_state = bn_state
+
+
 class CheckpointEvaluator:
-    def __init__(self, ckpt_path: str, synthetic_audio: bool = False, logger=None):
+    def __init__(self, ckpt_path: Optional[str] = None, synthetic_audio: bool = False,
+                 logger=None, _prebuilt=None):
         self.log = logger or get_logger()
-        meta = ckpt.read_metadata(ckpt_path)
-        self.cfg = config_from_metadata(meta)
-        self.meta = meta
-        self.codec = LabelCodec.load_state_dict(meta["many_hot_encoder"])
-        self.scaler = Scaler().load_state_dict(meta["scaler"])
-        self.model = CRNN(self.cfg.model)
+        if _prebuilt is not None:
+            (self.cfg, self.model, self.state, self.scaler, self.codec, self.meta) = _prebuilt
+        else:
+            meta = ckpt.read_metadata(ckpt_path)
+            self.cfg = config_from_metadata(meta)
+            self.meta = meta
+            self.codec = LabelCodec.load_state_dict(meta["many_hot_encoder"])
+            self.scaler = Scaler().load_state_dict(meta["scaler"])
+            self.model = CRNN(self.cfg.model)
+            optimizer = optax.adam(self.cfg.train.lr)
+            template = init_train_state(
+                self.model, optimizer, jax.random.PRNGKey(0),
+                with_ema=meta.get("mean_teacher", True),
+            )
+            self.state, _ = ckpt.restore_checkpoint(ckpt_path, template)
+            self.log.info(f"Model loaded at epoch: {meta['epoch']}")
         d = self.cfg.dsp
         self.frontend = MelFrontend(
             sample_rate=d.sample_rate, n_window=d.n_window, hop_length=d.hop_length,
             n_mels=d.n_mels, f_min=d.f_min, f_max=d.f_max, max_frames=d.max_frames,
             amin=d.amin, top_db=d.top_db,
         )
-        optimizer = optax.adam(self.cfg.train.lr)
-        template = init_train_state(
-            self.model, optimizer, jax.random.PRNGKey(0), with_ema=meta.get("mean_teacher", True)
-        )
-        self.state, _ = ckpt.restore_checkpoint(ckpt_path, template)
-        self.log.info(f"Model loaded at epoch: {meta['epoch']}")
         mean, std = self.scaler.mean_std_f32
         self.eval_features = make_eval_features(self.frontend, mean, std)
         self.predict = make_predict_step(self.model)
         self.synthetic_audio = synthetic_audio
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, synthetic_audio: bool = False, logger=None):
+        """Evaluate a reference torch.save checkpoint (TestModel.py's input
+        format) by importing its weights (train/torch_import.py)."""
+        import dataclasses
+
+        from dcase2019_task4_tpu.train.torch_import import import_reference_checkpoint
+
+        model, params, bn_state, scaler, codec, ptr = import_reference_checkpoint(path)
+        cfg = Config(model=model.cfg)
+        meta = {"epoch": "torch-import", "pooling_time_ratio": ptr, "mean_teacher": True}
+        state = _EvalState(params, bn_state)
+        return cls(
+            synthetic_audio=synthetic_audio, logger=logger,
+            _prebuilt=(cfg, model, state, scaler, codec, meta),
+        )
 
     def _stream(self, tsv_path: str, subpart: Optional[int]) -> Stream:
         m = subpart_manifest(load_manifest(tsv_path), subpart)

@@ -82,3 +82,37 @@ def test_import_preserves_unserialized_attention():
     before = np.asarray(params["dense_softmax"]["w"]).copy()
     params2, _ = import_model_state_dict(sd, params, bn_state)
     np.testing.assert_array_equal(np.asarray(params2["dense_softmax"]["w"]), before)
+
+
+def test_checkpoint_evaluator_from_torch(tmp_path):
+    """End-to-end: reference-format torch.save file → evaluator → metrics."""
+    from tests.test_crnn_parity import TorchCRNN
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+
+    torch.manual_seed(2)
+    tm = TorchCRNN(CFG)
+    state = {
+        "model": {
+            "name": "CRNN",
+            "kwargs": {"n_in_channel": 1, "nclass": 10, "attention": True,
+                       "n_RNN_cell": 64, "n_layers_RNN": 2, "activation": "glu",
+                       "dropout": 0.5, "kernel_size": [3, 3, 3], "padding": [1, 1, 1],
+                       "stride": [1, 1, 1], "nb_filters": [64, 64, 64],
+                       "pooling": [(2, 4), (2, 4), (2, 4)]},
+            "state_dict": _reference_layout_state_dict(tm),
+        },
+        "scaler": {"mean_": [0.0] * 64, "mean_of_square_": [1.0] * 64},
+        "many_hot_encoder": {"labels": [f"c{i}" for i in range(10)], "n_frames": 108},
+        "pooling_time_ratio": 8,
+    }
+    p = str(tmp_path / "torch_ckpt")
+    torch.save(state, p)
+    ev = CheckpointEvaluator.from_torch_checkpoint(p, synthetic_audio=True)
+    assert ev.meta["pooling_time_ratio"] == 8
+    assert ev.codec.labels == [f"c{i}" for i in range(10)]
+    # forward smoke through the predict step
+    import jax.numpy as jnp
+
+    x = jnp.zeros((2, 864, 64), jnp.float32)
+    strong, weak = ev.predict(ev.state.params, ev.state.bn_state, x)
+    assert strong.shape == (2, 108, 10)
