@@ -79,3 +79,50 @@ def test_checkpoint_evaluator_roundtrip(tmp_path, tiny_exp):
     )
     assert 0.0 <= res["event_macro_f1"] <= 1.0
     assert os.path.exists(tmp_path / "preds.tsv")
+
+
+def test_no_synthetic_mode_composition():
+    # main.py -n: [weak ¼ | unlabeled ¾], no strong loss (main.py:242-245)
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, no_synthetic=True, subpart_data=12,
+        synthetic_audio=True, seed=1,
+    )
+    exp.build()
+    assert [s.name for s in exp.pipeline.streams] == ["weak", "unlabeled"]
+    assert exp.pipeline.sampler.batch_sizes == [2, 6]
+    assert exp.weak_slice == slice(0, 2)
+    assert exp.strong_slice is None
+
+
+def test_simple_crnn_mode_composition():
+    # main_simple_CRNN.py default: [weak ½ | synthetic ½]
+    exp = Experiment(
+        TINY_CFG, mean_teacher=False, subpart_data=12, synthetic_audio=True, seed=1
+    )
+    exp.build()
+    assert [s.name for s in exp.pipeline.streams] == ["weak", "synthetic"]
+    assert exp.weak_slice == slice(0, 4)
+    assert exp.strong_slice == slice(4, 8)
+
+
+def test_synthetic_only_mode_composition():
+    # main_simple_CRNN.py -n: synthetic only, no weak loss
+    exp = Experiment(
+        TINY_CFG, mean_teacher=False, no_weak=True, subpart_data=12,
+        synthetic_audio=True, seed=1,
+    )
+    exp.build()
+    assert [s.name for s in exp.pipeline.streams] == ["synthetic"]
+    assert exp.weak_slice is None
+    assert exp.strong_slice == slice(0, 8)
+
+
+def test_resume_roundtrip(tmp_path, tiny_exp):
+    store = str(tmp_path / "resume_run")
+    tiny_exp.run(store_dir=store, n_epoch=1)
+    ck = os.path.join(store, "model", "baseline_epoch_0")
+    meta = tiny_exp.restore(ck)
+    assert meta["epoch"] == 0
+    # continuing from epoch+1 trains at least one more epoch
+    res = tiny_exp.run(store_dir=store, n_epoch=2, resume_from=ck)
+    assert "event_macro_f1" in res
