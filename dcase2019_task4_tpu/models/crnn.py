@@ -127,6 +127,48 @@ class CRNN:
             weak = strong.mean(axis=1)
         return strong, weak, new_state
 
+    def _fused_entry_block(self, block, bn_state, x, seed, train):
+        """EXPERIMENTAL (not wired into apply): block 0 with the conv folded
+        into the Pallas kernel (ops/fused_entry_block.py). Numerically exact
+        (see tests) but currently slower than XLA-conv + _fused_block on
+        v5e — the in-kernel 1-channel conv (9-lane patch matmul) doesn't map
+        well to the VPU/MXU; kept for future tuning.
+        x [B, T, F] single-channel features → pooled [B, T/pt, F/pf, C]."""
+        from dcase2019_task4_tpu.ops.fused_entry_block import (
+            entry_block_stats,
+            fused_entry_block,
+            pad_features_for_entry,
+        )
+
+        cfg = self.cfg
+        xp = pad_features_for_entry(x)
+        w9 = block["conv"]["w"].reshape(9, -1)
+        cb = block["conv"]["b"]
+        if train:
+            s, sq = entry_block_stats(xp, jax.lax.stop_gradient(w9), jax.lax.stop_gradient(cb))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            mean = s / n
+            var = sq / n - mean**2
+            unbiased = var * n / max(n - 1, 1)
+            m = cfg.bn_momentum
+            new_bn = {
+                "mean": (1 - m) * bn_state["mean"] + m * mean,
+                "var": (1 - m) * bn_state["var"] + m * unbiased,
+            }
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            rate = cfg.dropout
+        else:
+            mean, var = bn_state["mean"], bn_state["var"]
+            new_bn = bn_state
+            rate = 0.0
+        out = fused_entry_block(
+            xp, w9, cb, block["bn"]["scale"], block["bn"]["bias"], mean, var,
+            block["act"]["w"], block["act"]["b"], seed,
+            rate, tuple(cfg.pooling[0]), cfg.bn_eps, train,
+        )
+        return out.astype(jnp.dtype(cfg.compute_dtype)), new_bn
+
     def _fused_block(self, block, bn_state, y, i, seed, train):
         """Post-conv chain via the fused Pallas kernel (ops/fused_block.py):
         one HBM pass instead of XLA's several. BN statistics and the
