@@ -190,7 +190,10 @@ class Config:
         return tuple(sorted(df["event_label"].dropna().unique()))
 
     def with_classes(self, classes) -> "Config":
-        cfg = dataclasses.replace(self)
+        """A copy whose `classes` are pinned (e.g. derived from custom
+        manifests via data.manifests.classes_from_manifests instead of
+        validation.tsv)."""
+        cfg = Config(paths=self.paths, dsp=self.dsp, model=self.model, train=self.train)
         cfg.__dict__["classes"] = tuple(classes)
         return cfg
 

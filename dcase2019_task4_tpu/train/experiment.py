@@ -85,6 +85,8 @@ class Experiment:
             max_frames=cfg.dsp.max_frames,
             amin=cfg.dsp.amin,
             top_db=cfg.dsp.top_db,
+            # frontend MXU dtype follows the model's compute policy
+            compute_dtype=cfg.model.compute_dtype,
         )
         self.model = CRNN(cfg.model)
         self.scaler = Scaler()
@@ -394,14 +396,13 @@ class Experiment:
     # ------------------------------------------------------------ resume
 
     def restore(self, path: str):
+        """Restore a checkpoint into this experiment: scaler moments first,
+        then ALL step closures rebuilt around them (train featurize included),
+        then the train state itself (the _build_steps re-init is overwritten)."""
         if not self._built:
             self.build()
-        self.state, meta = ckpt.restore_checkpoint(path, self.state)
+        meta = ckpt.read_metadata(path)
         self.scaler.load_state_dict(meta["scaler"])
-        self._build_steps_after_restore(meta)
+        self._build_steps()
+        self.state, _ = ckpt.restore_checkpoint(path, self.state)
         return meta
-
-    def _build_steps_after_restore(self, meta):
-        # scaler changed ⇒ rebuild featurize closures with restored moments
-        mean, std = self.scaler.mean_std_f32
-        self.eval_features = make_eval_features(self.frontend, mean, std)
