@@ -22,6 +22,9 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# persistent compile cache: repeat bench runs skip the 20-40s TPU compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_local.json")
 BATCH = 24  # reference recipe batch size (config.py:43) — used for the torch baseline
 TPU_BATCH = 96  # throughput-optimal incl. frontend on v5e
