@@ -157,6 +157,32 @@ def evaluate(argv=None):
     return results
 
 
+def precompute(argv=None):
+    """Reference-style feature precompute to .npy (optional — the default
+    training path featurizes on device every step)."""
+    parser = argparse.ArgumentParser(description="Precompute log-mel features to .npy")
+    parser.add_argument("--sets", type=str, nargs="*", default=None)
+    parser.add_argument("-s", "--subpart_data", type=int, default=None)
+    parser.add_argument("--feature_dir", type=str, default=None)
+    parser.add_argument("--nolog", action="store_true", default=False,
+                        help="store linear mel (reference save_log_feature=False)")
+    args = parser.parse_args(argv)
+    from dcase2019_task4_tpu.data.audio_io import WavAudioSource
+    from dcase2019_task4_tpu.data.features_cache import precompute_features
+    from dcase2019_task4_tpu.data.manifests import load_manifest, subpart_manifest
+
+    cfg = Config()
+    sets = args.sets or [cfg.paths.weak, cfg.paths.unlabel, cfg.paths.synthetic,
+                         cfg.paths.validation]
+    log = get_logger()
+    for tsv in sets:
+        m = subpart_manifest(load_manifest(tsv), args.subpart_data)
+        src = WavAudioSource(cfg.paths.audio_dir_for_meta(tsv), cfg.dsp.sample_rate)
+        done = precompute_features(m, src, cfg, args.feature_dir,
+                                   save_log_feature=not args.nolog)
+        log.info(f"{tsv}: cached {len(done)}/{len(m)} files")
+
+
 def download(argv=None):
     parser = argparse.ArgumentParser(description="DESED audio download (download_data.py parity)")
     parser.add_argument("--sets", type=str, nargs="*", default=None)

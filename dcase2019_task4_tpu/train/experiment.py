@@ -105,10 +105,17 @@ class Experiment:
 
     def _make_stream(self, name: str, manifest: Manifest, tsv_path: str, cache=True) -> Stream:
         d = self.cfg.dsp
+        source = self._source_for(manifest, tsv_path)
+        if not self.synthetic_audio:
+            # drop rows whose wav is absent, with a logged error per file
+            # (reference DatasetDcase2019Task4.py:254-262)
+            from dcase2019_task4_tpu.data.features_cache import drop_missing_audio
+
+            manifest = drop_missing_audio(manifest, source, self.log)
         return Stream(
             name,
             manifest,
-            self._source_for(manifest, tsv_path),
+            source,
             self.codec,
             d.sample_rate,
             d.hop_length,
