@@ -5,7 +5,6 @@ score with the native event/segment metrics and weak tagging F1."""
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional
 
 import jax
@@ -86,8 +85,6 @@ class CheckpointEvaluator:
     def from_torch_checkpoint(cls, path: str, synthetic_audio: bool = False, logger=None):
         """Evaluate a reference torch.save checkpoint (TestModel.py's input
         format) by importing its weights (train/torch_import.py)."""
-        import dataclasses
-
         from dcase2019_task4_tpu.train.torch_import import import_reference_checkpoint
 
         model, params, bn_state, scaler, codec, ptr = import_reference_checkpoint(path)

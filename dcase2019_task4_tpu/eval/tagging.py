@@ -11,7 +11,7 @@ batch instead of per-clip Python.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 import pandas as pd

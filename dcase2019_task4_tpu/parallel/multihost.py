@@ -19,7 +19,7 @@ devices. Pure index arithmetic — unit-testable without real hosts.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

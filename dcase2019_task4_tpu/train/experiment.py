@@ -17,7 +17,6 @@ import time
 from typing import Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -39,7 +38,6 @@ from dcase2019_task4_tpu.models.crnn import CRNN
 from dcase2019_task4_tpu.ops.mel import MelFrontend
 from dcase2019_task4_tpu.train import checkpoints as ckpt
 from dcase2019_task4_tpu.train.steps import (
-    TrainState,
     init_train_state,
     make_eval_features,
     make_predict_step,

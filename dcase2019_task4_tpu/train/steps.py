@@ -14,7 +14,6 @@ flow, so one compilation serves the whole run.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
