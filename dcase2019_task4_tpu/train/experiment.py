@@ -69,6 +69,16 @@ class Experiment:
         self.synthetic_audio = synthetic_audio
         self.log = logger or get_logger()
         self.mesh = mesh
+        if mesh is not None and mesh.devices.size > 1 and cfg.model.fused_block is None:
+            # the fused Pallas block is single-device; under GSPMD data
+            # parallelism fall back to the XLA block path (auto only — an
+            # explicit fused_block=True is honored and will fail loudly)
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, fused_block=False)
+            )
+            self.cfg = cfg
         self.seed = seed
         self.classes = list(cfg.classes)
         ptr = cfg.model.pooling_time_ratio
