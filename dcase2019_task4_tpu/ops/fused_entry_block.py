@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dcase2019_task4_tpu.ops.fused_block import _chain_fwd, _dropout_mask, _seed_for
+from dcase2019_task4_tpu.ops.fused_block import _chain_fwd, _dropout_mask, _params, _seed_for
 
 
 def _conv_from_patches(xbuf, w9, b, tt, F, C):
@@ -152,9 +152,9 @@ def _bwd_apply_kernel(seed_ref, xm_ref, xh_ref, dout_ref, w9_ref, b_ref,
 
 
 def _pick_tile(T: int, F: int, C: int) -> int:
-    budget = 1_100_000
+    budget = 6_000_000
     # multiples of 8 only: main/halo blocks must be sublane-aligned
-    for tt in (96, 72, 48, 24, 16, 8):
+    for tt in (216, 96, 72, 48, 24, 16, 8):
         if T % tt == 0 and tt * F * C * 4 <= budget:
             return tt
     raise ValueError(f"no sublane-aligned tile divides T={T}")
@@ -204,6 +204,7 @@ def entry_block_stats(xp, conv_w9, conv_b, tt=None):
             jax.ShapeDtypeStruct((C,), jnp.float32),
             jax.ShapeDtypeStruct((C,), jnp.float32),
         ],
+        compiler_params=_params(),
     )(xp, xp, conv_w9, conv_b)
     return s, sq
 
@@ -232,6 +233,7 @@ def _fwd(xp, conv_w9, conv_b, scale, bias, mean, var, glu_w, glu_b, seed,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((B, T // pt, F // pf, C), out_dtype),
+        compiler_params=_params(),
     )(jnp.asarray(seed, jnp.int32).reshape(1), xp, xp, conv_w9, conv_b,
       scale, bias, mean, var, glu_w, glu_b)
 
@@ -271,6 +273,7 @@ def _bwd(xp, dout, conv_w9, conv_b, scale, bias, mean, var, glu_w, glu_b, seed,
             jax.ShapeDtypeStruct((C,), jnp.float32),
             jax.ShapeDtypeStruct((C,), jnp.float32),
         ],
+        compiler_params=_params(),
     )(*args)
 
     apply_kernel = functools.partial(
@@ -291,6 +294,7 @@ def _bwd(xp, dout, conv_w9, conv_b, scale, bias, mean, var, glu_w, glu_b, seed,
             jax.ShapeDtypeStruct((16, C), jnp.float32),  # padded 9→16 rows
             jax.ShapeDtypeStruct((C,), jnp.float32),
         ],
+        compiler_params=_params(),
     )(*args, s1, s2)
     return dw9[:9], dcb, s2, s1, dgw, dgb
 
