@@ -26,12 +26,26 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def binarize_and_median(strong_probs: jnp.ndarray, threshold: float = 0.5, window: int = 5):
-    """[B, T, C] probabilities → binary grid, then median-filter window
-    (5, 1) over time, matching dcase_util global-threshold binarization +
-    scipy.ndimage.median_filter (evaluation_measures.py:212-214)."""
+def _binarize_and_median_scalar(strong_probs, threshold: float, window: int):
     binary = (strong_probs > threshold).astype(jnp.float32)
     return median_filter_binary(binary, window)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _binarize_and_median_vector(strong_probs, thresholds, window: int):
+    binary = (strong_probs > thresholds).astype(jnp.float32)
+    return median_filter_binary(binary, window)
+
+
+def binarize_and_median(strong_probs: jnp.ndarray, threshold=0.5, window: int = 5):
+    """[B, T, C] probabilities → binary grid, then median-filter window
+    (5, 1) over time, matching dcase_util binarization +
+    scipy.ndimage.median_filter (evaluation_measures.py:212-214).
+    `threshold` is a global scalar or a per-class [C] vector
+    (class_threshold mode, evaluation_measures.py:60-66)."""
+    if np.ndim(threshold) == 0:
+        return _binarize_and_median_scalar(strong_probs, float(threshold), window)
+    return _binarize_and_median_vector(strong_probs, jnp.asarray(threshold), window)
 
 
 def grids_to_dataframe(

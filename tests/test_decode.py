@@ -74,3 +74,26 @@ def test_grids_to_dataframe_multiple_events():
     df = grids_to_dataframe(grid, ["z.wav"], codec, 44100, 511, 8)
     assert len(df) == 2
     np.testing.assert_allclose(sorted(df.onset), [2 * SCALE, 8 * SCALE])
+
+
+def test_per_class_thresholds_in_decode():
+    probs = np.zeros((1, 108, 3), np.float32)
+    probs[0, 10:30, 0] = 0.4  # below global 0.5, above class threshold 0.3
+    probs[0, 10:30, 1] = 0.4
+    out = np.asarray(binarize_and_median(jnp.asarray(probs), np.array([0.3, 0.5, 0.5])))
+    assert out[0, 15, 0] == 1.0 and out[0, 15, 1] == 0.0
+
+
+def test_tune_weak_thresholds():
+    from dcase2019_task4_tpu.eval.thresholds import tune_weak_thresholds
+
+    rng = np.random.default_rng(0)
+    n = 400
+    y = (rng.random((n, 2)) > 0.5).astype(np.int32)
+    # class 0 separable around 0.3, class 1 around 0.7
+    probs = np.zeros((n, 2), np.float32)
+    probs[:, 0] = np.where(y[:, 0] == 1, 0.35, 0.25) + rng.normal(0, 0.01, n)
+    probs[:, 1] = np.where(y[:, 1] == 1, 0.75, 0.65) + rng.normal(0, 0.01, n)
+    th, f1 = tune_weak_thresholds(probs, y)
+    assert 0.25 < th[0] < 0.35 and 0.65 < th[1] < 0.75
+    assert (f1 > 0.95).all()
