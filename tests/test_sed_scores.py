@@ -113,3 +113,43 @@ def test_compute_strong_metrics_returns_event_metrics():
     m = compute_strong_metrics(est, ref)
     assert m.results_class_wise_average_metrics()["f_measure"]["f_measure"] == 1.0
     assert "macro F1" in str(m)
+
+
+def test_matching_vs_bruteforce_property():
+    """Property test: the augmenting-path matcher equals brute-force optimal
+    1-1 matching on random small event sets."""
+    import itertools
+
+    from dcase2019_task4_tpu.eval.sed_scores import _max_matching
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n_ref = int(rng.integers(0, 5))
+        n_est = int(rng.integers(0, 5))
+        hits = rng.random((n_ref, n_est)) < 0.4
+        got = _max_matching(hits)
+        best = 0
+        if n_ref and n_est:
+            for perm in itertools.permutations(range(n_est), min(n_ref, n_est)):
+                rows = range(min(n_ref, n_est))
+                best = max(best, sum(1 for r, e in zip(rows, perm) if hits[r, e]))
+            # also try all row subsets when n_ref > n_est handled by perm over est
+            for rows in itertools.permutations(range(n_ref), min(n_ref, n_est)):
+                for perm in itertools.permutations(range(n_est), min(n_ref, n_est)):
+                    best = max(best, sum(1 for r, e in zip(rows, perm) if hits[r, e]))
+        assert got == best, (hits, got, best)
+
+
+def test_event_metrics_random_selfmatch():
+    """Any prediction set scored against itself is a perfect match."""
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(30):
+        on = rng.uniform(0, 8)
+        rows.append((f"f{i % 5}.wav", on, on + rng.uniform(0.3, 2.0),
+                     f"c{int(rng.integers(0, 3))}"))
+    df = _df(rows)
+    m = event_based_metrics(df, df.copy())
+    assert m.macro_f_measure() == 1.0
+    s = segment_based_metrics(df, df.copy())
+    assert s.macro_f_measure() == 1.0
