@@ -207,19 +207,37 @@ class Experiment:
     def _fit_scaler(self):
         """Dataset-moment pass on device over all training streams
         (reference Scaler.calculate_scaler over the ConcatDataset,
-        main.py:249-250 — equal weight per clip, features WITHOUT noise)."""
+        main.py:249-250 — equal weight per clip, features WITHOUT noise).
+        Moments reduce on device; only [n_mels] vectors come back per batch."""
+        from dcase2019_task4_tpu.train.steps import make_scaler_stats
+
         self.log.info("fitting scaler (device pass over training features)")
         t0 = time.time()
-        feat = make_eval_features(self.frontend)
-        batches = []
+        stats = make_scaler_stats(self.frontend)
         B = max(self.pipeline.batch_size, 8)
         d = self.cfg.dsp
+        total = None
+        total_sq = None
+        count = 0
         for stream in self.pipeline.streams:
             for batch in iter_eval_batches(stream, B, d.max_samples, d.n_window, d.hop_length, d.max_frames):
-                x = np.asarray(feat(batch["audio"], batch["frames"]))
-                batches.append(x[: batch["n_valid"]])
-        self.scaler.fit_batched(batches)
-        self.log.info(f"scaler fit in {time.time() - t0:.1f}s")
+                nv = batch["n_valid"]
+                if nv < B:  # last batch repeats the tail clip; re-reduce on host
+                    from dcase2019_task4_tpu.train.steps import make_eval_features
+
+                    x = np.asarray(make_eval_features(self.frontend)(batch["audio"], batch["frames"]))[:nv]
+                    s = x.mean(axis=1).sum(axis=0)
+                    sq = (x**2).mean(axis=1).sum(axis=0)
+                else:
+                    s, sq = stats(batch["audio"], batch["frames"])
+                    s, sq = np.asarray(s, np.float64), np.asarray(sq, np.float64)
+                total = s if total is None else total + s
+                total_sq = sq if total_sq is None else total_sq + sq
+                count += nv
+        self.scaler.mean_ = total / count
+        self.scaler.mean_of_square_ = total_sq / count
+        self.scaler._finalize()
+        self.log.info(f"scaler fit in {time.time() - t0:.1f}s ({count} clips)")
 
     def _build_steps(self):
         t = self.cfg.train

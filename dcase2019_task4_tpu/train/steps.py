@@ -197,6 +197,24 @@ def make_eval_features(frontend, scaler_mean=None, scaler_std=None):
     return featurize
 
 
+def make_scaler_stats(frontend):
+    """Jitted per-batch moment reduction for scaler fitting: featurize and
+    reduce to (Σ per bin, Σ² per bin, clip count) on device — only two
+    [n_mels] vectors cross the device→host link per batch (the reference
+    iterates full features on the host, utils/Scaler.py:34-87)."""
+
+    @jax.jit
+    def stats(audio, frames):
+        x = frontend.log_mel(dequantize_audio(audio), frames)
+        # per-clip mean over time, then summed over clips (equal clip weight)
+        return (
+            jnp.sum(jnp.mean(x, axis=1), axis=0),
+            jnp.sum(jnp.mean(x * x, axis=1), axis=0),
+        )
+
+    return stats
+
+
 def make_predict_step(model):
     """Jitted batched inference: features → (strong probs, weak probs).
     Replaces the reference's per-clip batch-1 loop
