@@ -83,10 +83,14 @@ def make_train_step(
     """Build the jitted step.
 
     Batch dict:
-      * fused-frontend mode (frontend given): {"audio": [B, Lp] reflect-padded,
-        "frames": [B] valid frame counts, "target": [B, T', C]}
+      * fused-frontend mode (frontend given): {"audio": [B, Lp] reflect-padded
+        (int16 or f32), "frames": [B] valid frame counts, "target": [B, T', C]};
+        the teacher's |N(0, noise_std)| mel-noise augmentation is applied on
+        device (AugmentGaussianNoise semantics).
       * precomputed mode: {"features": [B, T, F] normalized log-mel,
-        optional "features_teacher", "target"}
+        optional "features_teacher" (pass the noisy variant here for full
+        Mean-Teacher parity — without it the teacher sees clean features),
+        "target"}
 
     Returns step_fn(state, batch, rng) → (state, metrics dict of scalars).
     """
