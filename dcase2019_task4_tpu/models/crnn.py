@@ -173,14 +173,18 @@ class CRNN:
         """Post-conv chain via the fused Pallas kernel (ops/fused_block.py):
         one HBM pass instead of XLA's several. BN statistics and the
         running-stat update follow layers.batchnorm_apply exactly."""
-        from dcase2019_task4_tpu.ops.fused_block import fused_bn_glu_dropout_pool
+        from dcase2019_task4_tpu.ops.fused_block import batch_stats, fused_bn_glu_dropout_pool
 
         cfg = self.cfg
         if train:
-            yf = y.astype(jnp.float32)
-            axes = tuple(range(y.ndim - 1))
-            mean = jnp.mean(yf, axes)
-            var = jnp.var(yf, axes)
+            # one lane-packed Pallas pass for Σx/Σx² — XLA's mean+var over the
+            # padded conv layout costs several separate full-tensor fusions
+            # stop_gradient: the fused kernel's custom VJP carries the full
+            # BN through-statistics backward, so the stats pass itself must
+            # not be differentiated (and Pallas has no JVP rule anyway)
+            mean, var = batch_stats(
+                jax.lax.stop_gradient(y), pool_f=cfg.pooling[i][1]
+            )
             n = y.size // y.shape[-1]
             unbiased = var * n / max(n - 1, 1)
             m = cfg.bn_momentum

@@ -16,9 +16,20 @@ kernel does the whole chain in ONE pass per direction:
              pass 2 recomputes dxn and writes
              dy = inv·γ·(dxn − S1/N − x̂·S2/N).
 
+Lane packing (the big v5e win): with C=64 channels, a [.., C]-minor array is
+padded to the 128-lane tile in HBM — 2× the footprint and HALF the usable
+bandwidth on every pass (measured: a read-only Pallas sweep of the block-1
+activation runs ~0.7 ms packed vs ~5.7 ms unpadded). All kernels therefore
+view the activation as [B, T, F/k, k·C] with k = 128//C (a pure bitcast
+reshape of the row-major array): elementwise math runs at full VPU width,
+the GLU weight becomes kron(I_k, W) (one [128,128] MXU matmul per tile),
+and per-channel vectors are tiled k× along lanes and folded back outside.
+
 Dropout masks are regenerated identically in both directions from a
 deterministic per-tile seed (pltpu.prng_seed keyed on the grid position),
-so no mask tensor ever exists in HBM.
+so no mask tensor ever exists in HBM. The mask is defined in the PACKED
+layout; `dropout_mask_logical` reproduces it in logical [T, F, C] terms
+(used by the TPU parity test).
 
 Semantics match the reference block exactly (models/CNN.py:44-67: BN eps
 1e-3 with batch statistics in training, GLU, dropout, AvgPool2d) and the
@@ -54,6 +65,37 @@ def reference_block(y, scale, bias, mean, var, glu_w, glu_b, mask, keep, pool, e
     return g.reshape(B, T // pt, pt, F // pf, pf, C).mean(axis=(2, 4))
 
 
+# ------------------------------------------------------------ lane packing
+
+
+def _pack_factor(F: int, C: int, pool_f: int) -> int:
+    """k such that the kernel operates on [.., F/k, k·C] with k·C = 128.
+    Falls back to 1 (no packing) when the shape doesn't allow it."""
+    if C >= 128 or 128 % C != 0:
+        return 1
+    k = 128 // C
+    if F % k != 0 or pool_f % k != 0:
+        return 1
+    return k
+
+
+def _tile_k(v, k):
+    """Per-channel vector [C] → packed-lane vector [k·C]."""
+    return jnp.tile(v, k) if k > 1 else v
+
+
+def _fold_k(v, k, C):
+    """Packed-lane vector [k·C] → per-channel vector [C] (sum of copies)."""
+    return v.reshape(k, C).sum(axis=0) if k > 1 else v
+
+
+def _pack_w(w, k):
+    """GLU weight [C, C] → block-diagonal [k·C, k·C] acting per lane-half."""
+    if k == 1:
+        return w
+    return jnp.kron(jnp.eye(k, dtype=w.dtype), w)
+
+
 # ----------------------------------------------------------- fwd kernel
 
 
@@ -63,11 +105,19 @@ def _seed_for(seed_ref, nt):
     return seed_ref[0] + b * nt + t
 
 
-def _chain_fwd(y, scale, bias, mean, var, glu_w, glu_b, eps):
-    """Shared BN+GLU math on a [rows, C] tile; returns (xn, lin, sig)."""
+def _dot(a, b, low_precision):
+    """MXU dot with f32 accumulation; bf16 operands when the surrounding
+    model runs bf16 (4× the f32 MXU rate on v5e), full f32 otherwise."""
+    if low_precision:
+        a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _chain_fwd(y, scale, bias, mean, var, glu_w, glu_b, eps, lp):
+    """Shared BN+GLU math on a [rows, L] tile; returns (xn, lin, sig)."""
     inv = jax.lax.rsqrt(var + eps)
     xn = (y - mean) * inv * scale + bias
-    lin = jnp.dot(xn, glu_w, preferred_element_type=jnp.float32) + glu_b
+    lin = _dot(xn, glu_w, lp) + glu_b
     sig = jax.nn.sigmoid(xn)
     return xn, lin, sig
 
@@ -78,49 +128,73 @@ def _dropout_mask(shape, rate):
     return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
 
 
+def _pool_packed(g, tt, F2, L, k, C, pool):
+    """[tt·F2, L] → pooled [tt/pt, F/pf, C]: window-sum over rows (static
+    indexing — strided slices lower to unsupported gathers in Mosaic), then
+    fold the k lane-copies (adjacent f values) and divide by the window."""
+    pt, pf = pool
+    pfk = pf // k
+    g = g.reshape(tt // pt, pt, F2 // pfk, pfk, L)
+    g = sum(g[:, i, :, j] for i in range(pt) for j in range(pfk))
+    if k > 1:
+        g = sum(g[..., i * C:(i + 1) * C] for i in range(k))
+    return g / (pt * pf)
+
+
 def _fwd_kernel(seed_ref, y_ref, scale_ref, bias_ref, mean_ref, var_ref,
-                w_ref, b_ref, out_ref, *, tt, F, C, pool, rate, eps, nt, train):
-    y = y_ref[0].reshape(tt * F, C).astype(jnp.float32)
+                w_ref, b_ref, out_ref, *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
+    y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
     xn, lin, sig = _chain_fwd(
-        y, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:], w_ref[:], b_ref[:], eps
+        y, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:], w_ref[:], b_ref[:], eps, lp
     )
     g = lin * sig
     if train and rate > 0.0:
         pltpu.prng_seed(_seed_for(seed_ref, nt))
-        g = g * _dropout_mask((tt * F, C), rate) * (1.0 / (1.0 - rate))
-    pt, pf = pool
-    pooled = g.reshape(tt // pt, pt, F // pf, pf, C).mean(axis=(1, 3))
-    out_ref[0] = pooled.astype(out_ref.dtype)
+        g = g * _dropout_mask((tt * F2, L), rate) * (1.0 / (1.0 - rate))
+    out_ref[0] = _pool_packed(g, tt, F2, L, k, C, pool).astype(out_ref.dtype)
 
 
 # ----------------------------------------------- bwd kernels (2 passes)
 
 
-def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep, seed_val, shape, train):
+def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep,
+                   seed_val, shape, train, lp):
     """Recompute forward pieces and the gradient into the BN output."""
-    xn, lin, sig = _chain_fwd(y, scale, bias, mean, var, w, b, eps)
+    xn, lin, sig = _chain_fwd(y, scale, bias, mean, var, w, b, eps, lp)
     dh = dout_up
     if train and rate > 0.0:
         pltpu.prng_seed(seed_val)
         dh = dh * _dropout_mask(shape, rate) * (1.0 / keep)
     dlin = dh * sig
     dxn_gate = dh * lin * sig * (1.0 - sig)
-    dxn = jnp.dot(dlin, w.T, preferred_element_type=jnp.float32) + dxn_gate
+    # contract over w's output axis directly (dlin @ wᵀ) — no materialized wᵀ
+    if lp:
+        dxn = jax.lax.dot_general(
+            dlin.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + dxn_gate
+    else:
+        dxn = jax.lax.dot_general(
+            dlin, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + dxn_gate
     return xn, dlin, dxn
 
 
-def _upsample(dout, tt, F, C, pool):
-    """Pool cotangent → per-element cotangent (mean pooling backward)."""
+def _upsample(dout, tt, F2, L, k, C, pool):
+    """Pooled cotangent [tt/pt, F/pf, C] → per-element cotangent [tt·F2, L]."""
     pt, pf = pool
-    d = dout.reshape(tt // pt, 1, F // pf, 1, C)
-    d = jnp.broadcast_to(d, (tt // pt, pt, F // pf, pf, C))
-    return (d / (pt * pf)).reshape(tt * F, C)
+    pfk = pf // k
+    if k > 1:
+        dout = jnp.concatenate([dout] * k, axis=-1)  # broadcast over lane-copies
+    d = dout.reshape(tt // pt, 1, F2 // pfk, 1, L)
+    d = jnp.broadcast_to(d, (tt // pt, pt, F2 // pfk, pfk, L))
+    return (d / (pt * pf)).reshape(tt * F2, L)
 
 
 def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
                        var_ref, w_ref, b_ref,
-                       dw_ref, db_ref, s1_ref, s2_ref,
-                       *, tt, F, C, pool, rate, eps, nt, train):
+                       dw_ref, db_ref, s1_ref, s2_ref, dyp_ref,
+                       *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -128,36 +202,41 @@ def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
         s1_ref[:] = jnp.zeros_like(s1_ref)
         s2_ref[:] = jnp.zeros_like(s2_ref)
 
-    y = y_ref[0].reshape(tt * F, C).astype(jnp.float32)
-    dout_up = _upsample(dout_ref[0].astype(jnp.float32), tt, F, C, pool)
+    y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
+    dout_up = _upsample(dout_ref[0].astype(jnp.float32), tt, F2, L, k, C, pool)
     xn, dlin, dxn = _recompute_dxn(
         y, dout_up, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:],
         w_ref[:], b_ref[:], eps, rate, 1.0 - rate, _seed_for(seed_ref, nt),
-        (tt * F, C), train,
+        (tt * F2, L), train, lp,
     )
     inv = jax.lax.rsqrt(var_ref[:] + eps)
     xhat = (y - mean_ref[:]) * inv
-    dw_ref[:] += jnp.dot(xn.T, dlin, preferred_element_type=jnp.float32)
+    # xnᵀ·dlin as a dot_general contracting the row axis of both operands —
+    # no materialized transpose of the tile
+    if lp:
+        dw_ref[:] += jax.lax.dot_general(
+            xn.astype(jnp.bfloat16), dlin.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:
+        dw_ref[:] += jax.lax.dot_general(
+            xn, dlin, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
     db_ref[:] += jnp.sum(dlin, axis=0)
     s1_ref[:] += jnp.sum(dxn, axis=0)
     s2_ref[:] += jnp.sum(dxn * xhat, axis=0)
+    # the per-element part of the BN backward; pass 2 subtracts the global
+    # through-statistics terms once S1/S2 are known
+    dyp_ref[0] = (inv * scale_ref[:] * dxn).reshape(tt, F2, L).astype(dyp_ref.dtype)
 
 
-def _bwd_apply_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
-                      var_ref, w_ref, b_ref, s1_ref, s2_ref,
-                      dy_ref, *, tt, F, C, pool, rate, eps, nt, n_total, train):
-    y = y_ref[0].reshape(tt * F, C).astype(jnp.float32)
-    dout_up = _upsample(dout_ref[0].astype(jnp.float32), tt, F, C, pool)
-    xn, dlin, dxn = _recompute_dxn(
-        y, dout_up, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:],
-        w_ref[:], b_ref[:], eps, rate, 1.0 - rate, _seed_for(seed_ref, nt),
-        (tt * F, C), train,
-    )
-    inv = jax.lax.rsqrt(var_ref[:] + eps)
-    xhat = (y - mean_ref[:]) * inv
-    # BN training backward: dy = inv·γ·(dxn − S1/N − x̂·S2/N)
-    dy = inv * scale_ref[:] * (dxn - s1_ref[:] / n_total - xhat * s2_ref[:] / n_total)
-    dy_ref[0] = dy.reshape(tt, F, C).astype(dy_ref.dtype)
+def _bwd_fixup_kernel(y_ref, dyp_ref, a_ref, b2_ref, mean_ref, dy_ref, *, tt, F2, L):
+    """dy = dy_partial − a − (y − mean)·b  with a = inv·γ·S1/N,
+    b = inv²·γ·S2/N — pure elementwise streaming, no recompute."""
+    y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
+    dyp = dyp_ref[0].reshape(tt * F2, L).astype(jnp.float32)
+    dy = dyp - a_ref[:] - (y - mean_ref[:]) * b2_ref[:]
+    dy_ref[0] = dy.reshape(tt, F2, L).astype(dy_ref.dtype)
 
 
 # ------------------------------------------------------------ dispatch
@@ -184,12 +263,21 @@ def _pick_tile(T: int, F: int = 64, C: int = 64) -> int:
     return 1
 
 
-def _specs(tt, F, C, pool, B, T):
+def _geom(y_shape, pool):
+    """Packed-kernel geometry for a [B, T, F, C] activation."""
+    B, T, F, C = y_shape
+    k = _pack_factor(F, C, pool[1])
+    F2, L = F // k, k * C
+    tt = _pick_tile(T, F, C)
+    return B, T, F, C, k, F2, L, tt
+
+
+def _specs(tt, F2, L, pool, B, T, k, C):
     nt = T // tt
     pt, pf = pool
     grid = (B, nt)
     in_specs = [
-        pl.BlockSpec((1, tt, F, C), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM),  # y
+        pl.BlockSpec((1, tt, F2, L), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM),  # y
         pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
@@ -197,21 +285,30 @@ def _specs(tt, F, C, pool, B, T):
         pl.BlockSpec(memory_space=pltpu.VMEM),  # glu_w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # glu_b
     ]
+    F = F2 * k
     out_spec = pl.BlockSpec(
         (1, tt // pt, F // pf, C), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
     return grid, nt, in_specs, out_spec
 
 
+def _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L):
+    B, T = y.shape[:2]
+    y2 = y.reshape(B, T, F2, L)  # bitcast view of the row-major activation
+    return (y2, _tile_k(scale, k), _tile_k(bias, k), _tile_k(mean, k),
+            _tile_k(var, k), _pack_w(glu_w, k), _tile_k(glu_b, k))
+
+
 def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, train,
                 interpret=False):
-    B, T, F, C = y.shape
-    tt = _pick_tile(T, F, C)
-    grid, nt, in_specs, out_spec = _specs(tt, F, C, pool, B, T)
+    B, T, F, C, k, F2, L, tt = _geom(y.shape, pool)
+    grid, nt, in_specs, out_spec = _specs(tt, F2, L, pool, B, T, k, C)
     pt, pf = pool
     kernel = functools.partial(
-        _fwd_kernel, tt=tt, F=F, C=C, pool=pool, rate=rate, eps=eps, nt=nt, train=train
+        _fwd_kernel, tt=tt, F2=F2, L=L, k=k, C=C, pool=pool, rate=rate, eps=eps,
+        nt=nt, train=train, lp=y.dtype == jnp.bfloat16,
     )
+    args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -220,66 +317,134 @@ def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, 
         out_shape=jax.ShapeDtypeStruct((B, T // pt, F // pf, C), y.dtype),
         compiler_params=None if interpret else _params(),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), y, scale, bias, mean, var, glu_w, glu_b)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *args)
 
 
 def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps,
                 train, interpret=False):
-    B, T, F, C = y.shape
-    tt = _pick_tile(T, F, C)
-    grid, nt, in_specs, _ = _specs(tt, F, C, pool, B, T)
+    B, T, F, C, k, F2, L, tt = _geom(y.shape, pool)
+    grid, nt, in_specs, _ = _specs(tt, F2, L, pool, B, T, k, C)
     pt, pf = pool
     dout_spec = pl.BlockSpec(
         (1, tt // pt, F // pf, C), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
     reduce_in = in_specs[:1] + [dout_spec] + in_specs[1:]
+    big_spec = pl.BlockSpec((1, tt, F2, L), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM)
     # accumulator outputs live in VMEM across the whole sequential grid
     reduce_out_specs = [
-        pl.BlockSpec((C, C), lambda b, t, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((C,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((C,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((C,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, L), lambda b, t, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
+        big_spec,  # dy_partial
     ]
+    lp = y.dtype == jnp.bfloat16
     reduce_kernel = functools.partial(
-        _bwd_reduce_kernel, tt=tt, F=F, C=C, pool=pool, rate=rate, eps=eps, nt=nt, train=train
+        _bwd_reduce_kernel, tt=tt, F2=F2, L=L, k=k, C=C, pool=pool, rate=rate,
+        eps=eps, nt=nt, train=train, lp=lp,
     )
-    dw, db, s1, s2 = pl.pallas_call(
+    args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
+    dwL, dbL, s1L, s2L, dyp = pl.pallas_call(
         reduce_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=reduce_in, out_specs=reduce_out_specs
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
-            jax.ShapeDtypeStruct((C,), jnp.float32),
-            jax.ShapeDtypeStruct((C,), jnp.float32),
-            jax.ShapeDtypeStruct((C,), jnp.float32),
+            jax.ShapeDtypeStruct((L, L), jnp.float32),
+            jax.ShapeDtypeStruct((L,), jnp.float32),
+            jax.ShapeDtypeStruct((L,), jnp.float32),
+            jax.ShapeDtypeStruct((L,), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, F2, L), y.dtype),
         ],
         compiler_params=None if interpret else _params(),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), y, dout, scale, bias, mean, var, glu_w, glu_b)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), args[0], dout, *args[1:])
 
-    apply_in = reduce_in + [
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # s1
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # s2
-    ]
+    # fold per-lane partial sums to per-channel totals, then precompute the
+    # global through-statistics coefficients for the elementwise fixup pass:
+    #   dy = dy_partial − a − (y − mean)·b,  a = inv·γ·S1/N,  b = inv²·γ·S2/N
+    s1 = _fold_k(s1L, k, C)
+    s2 = _fold_k(s2L, k, C)
     n_total = float(B * T * F)
-    apply_kernel = functools.partial(
-        _bwd_apply_kernel, tt=tt, F=F, C=C, pool=pool, rate=rate, eps=eps, nt=nt,
-        n_total=n_total, train=train,
-    )
-    dy = pl.pallas_call(
-        apply_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid, in_specs=apply_in,
-            out_specs=pl.BlockSpec((1, tt, F, C), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, T, F, C), y.dtype),
+    inv = jax.lax.rsqrt(var + eps)
+    a = _tile_k(inv * scale * s1 / n_total, k)
+    b2 = _tile_k(inv * inv * scale * s2 / n_total, k)
+
+    fixup_in = [
+        big_spec,  # y
+        big_spec,  # dy_partial
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
+    ]
+    fixup_kernel = functools.partial(_bwd_fixup_kernel, tt=tt, F2=F2, L=L)
+    dy2 = pl.pallas_call(
+        fixup_kernel,
+        grid=grid,
+        in_specs=fixup_in,
+        out_specs=big_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, F2, L), y.dtype),
         compiler_params=None if interpret else _params(),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), y, dout, scale, bias, mean, var, glu_w, glu_b, s1, s2)
+    )(args[0], dyp, a, b2, args[3])
+    dy = dy2.reshape(B, T, F, C)
 
+    # fold packed-lane accumulators back to per-channel quantities;
+    # the k² blocks of dwL are zero off the diagonal in forward math, and the
+    # backward only accumulates the diagonal blocks' true contributions
+    if k > 1:
+        dw = sum(dwL[i * C:(i + 1) * C, i * C:(i + 1) * C] for i in range(k))
+    else:
+        dw = dwL
+    db = _fold_k(dbL, k, C)
     # d(scale), d(bias): γ receives Σdxn·x̂ = s2, β receives Σdxn = s1
     return dy, s2, s1, dw, db
+
+
+# --------------------------------------------------- batch stats kernel
+
+
+def _stats_kernel(y_ref, sum_ref, sq_ref, *, tt, F2, L):
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
+    sum_ref[:] += jnp.sum(y, axis=0)
+    sq_ref[:] += jnp.sum(y * y, axis=0)
+
+
+def batch_stats(y, pool_f: int = 4, interpret: bool = False):
+    """Per-channel (mean, biased var) of a [B, T, F, C] activation in ONE
+    lane-packed HBM pass (replaces XLA's multi-fusion mean/var reduction).
+    `pool_f` only selects the packing factor so the view matches the fused
+    kernels'."""
+    B, T, F, C = y.shape
+    k = _pack_factor(F, C, pool_f)
+    F2, L = F // k, k * C
+    tt = _pick_tile(T, F, C)
+    y2 = y.reshape(B, T, F2, L)
+    grid = (B, T // tt)
+    s, sq = pl.pallas_call(
+        functools.partial(_stats_kernel, tt=tt, F2=F2, L=L),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tt, F2, L), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((L,), lambda b, t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L,), lambda b, t: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L,), jnp.float32),
+            jax.ShapeDtypeStruct((L,), jnp.float32),
+        ],
+        compiler_params=None if interpret else _params(),
+        interpret=interpret,
+    )(y2)
+    n = y.size // C
+    mean = _fold_k(s, k, C) / n
+    var = _fold_k(sq, k, C) / n - mean * mean
+    return mean, var
 
 
 # ---------------------------------------------------------- public API

@@ -89,20 +89,25 @@ def test_dropout_deterministic_and_grad_consistent_tpu(inputs):
     seed, rate = 123, 0.5
     tt = FB._pick_tile(T)
     nt = T // tt
+    # masks are defined in the kernels' lane-packed layout; reproduce it
+    k = FB._pack_factor(F, C, POOL[1])
+    F2, L = F // k, k * C
 
     def mask_kernel(seed_ref, o_ref):
         pltpu.prng_seed(FB._seed_for(seed_ref, nt))
-        o_ref[0] = FB._dropout_mask((tt * F, C), rate).reshape(tt, F, C)
+        # emit in the packed layout; the 128→64-lane unpacking reshape is a
+        # relayout Mosaic won't do in-kernel — done below in XLA-land
+        o_ref[0] = FB._dropout_mask((tt * F2, L), rate).reshape(tt, F2, L)
 
     mask = pl.pallas_call(
         mask_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nt), in_specs=[],
-            out_specs=pl.BlockSpec((1, tt, F, C), lambda bb, t, *_: (bb, t, 0, 0),
+            out_specs=pl.BlockSpec((1, tt, F2, L), lambda bb, t, *_: (bb, t, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T, F, C), jnp.float32),
-    )(jnp.asarray([seed], jnp.int32))
+        out_shape=jax.ShapeDtypeStruct((B, T, F2, L), jnp.float32),
+    )(jnp.asarray([seed], jnp.int32)).reshape(B, T, F, C)
 
     def loss_pallas(args):
         yy, sc, bi, ww, bb = args
