@@ -128,21 +128,49 @@ def _dropout_mask(shape, rate):
     return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
 
 
-def _pool_packed(g, tt, F2, L, k, C, pool):
-    """[tt·F2, L] → pooled [tt/pt, F/pf, C]: window-sum over rows (static
-    indexing — strided slices lower to unsupported gathers in Mosaic), then
-    fold the k lane-copies (adjacent f values) and divide by the window."""
+def _expand_matrix(tt, F2, pt, pfk):
+    """Binary [tt·F2, n_windows] matrix mapping each packed row (t, f2) to
+    its pooling window (t//pt, f2//pfk). Pooling = Bᵀ·x on the MXU and
+    pool-backward upsampling = B·d — both far cheaper than the sublane
+    interleave Mosaic emits for reshape/broadcast pooling (measured ~6 ms →
+    ~0.3 ms per block-1 backward pass on v5e). Entries are 0/1, so the
+    products are exact in any dtype; the 1/(pt·pf) scale is applied outside
+    in f32."""
+    A, Fp = tt // pt, F2 // pfk
+    m = np.zeros((tt * F2, A * Fp), np.float32)
+    r = np.arange(tt * F2)
+    m[r, ((r // F2) // pt) * Fp + (r % F2) // pfk] = 1.0
+    return m
+
+
+def _pool_mxu(g, bmt, k, C, pool, lp):
+    """[tt·F2, L] → pooled window sums [n_windows, C] via Bᵀ·g on the MXU
+    (bmt is the pre-transposed [n_windows, rows] matrix so the contraction
+    sits on the lhs lane axis — the natural MXU orientation), then fold the
+    k lane-copies and scale by the window size."""
     pt, pf = pool
-    pfk = pf // k
-    g = g.reshape(tt // pt, pt, F2 // pfk, pfk, L)
-    g = sum(g[:, i, :, j] for i in range(pt) for j in range(pfk))
+    dt = jnp.bfloat16 if lp else jnp.float32
+    pooled = jnp.dot(bmt.astype(dt), g.astype(dt), preferred_element_type=jnp.float32)
     if k > 1:
-        g = sum(g[..., i * C:(i + 1) * C] for i in range(k))
-    return g / (pt * pf)
+        pooled = sum(pooled[..., i * C:(i + 1) * C] for i in range(k))
+    return pooled * (1.0 / (pt * pf))
+
+
+def _upsample_mxu(dout, bm, L, k, C, pool, lp):
+    """Pooled cotangent tile [A, F/pf, C] → per-element cotangent
+    [tt·F2, L] via B·d on the MXU (exact: B is binary)."""
+    pt, pf = pool
+    d = dout.astype(jnp.float32)
+    if k > 1:
+        d = jnp.concatenate([d] * k, axis=-1)  # lane copies
+    d2 = d.reshape(bm.shape[1], L)
+    dt = jnp.bfloat16 if lp else jnp.float32
+    up = jnp.dot(bm.astype(dt), d2.astype(dt), preferred_element_type=jnp.float32)
+    return up * (1.0 / (pt * pf))
 
 
 def _fwd_kernel(seed_ref, y_ref, scale_ref, bias_ref, mean_ref, var_ref,
-                w_ref, b_ref, out_ref, *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
+                w_ref, b_ref, bm_ref, out_ref, *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
     y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
     xn, lin, sig = _chain_fwd(
         y, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:], w_ref[:], b_ref[:], eps, lp
@@ -151,7 +179,9 @@ def _fwd_kernel(seed_ref, y_ref, scale_ref, bias_ref, mean_ref, var_ref,
     if train and rate > 0.0:
         pltpu.prng_seed(_seed_for(seed_ref, nt))
         g = g * _dropout_mask((tt * F2, L), rate) * (1.0 / (1.0 - rate))
-    out_ref[0] = _pool_packed(g, tt, F2, L, k, C, pool).astype(out_ref.dtype)
+    pooled = _pool_mxu(g, bm_ref[:], k, C, pool, lp)
+    A = tt // pool[0]
+    out_ref[0] = pooled.reshape(A, bm_ref.shape[0] // A, C).astype(out_ref.dtype)
 
 
 # ----------------------------------------------- bwd kernels (2 passes)
@@ -180,19 +210,8 @@ def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep,
     return xn, dlin, dxn
 
 
-def _upsample(dout, tt, F2, L, k, C, pool):
-    """Pooled cotangent [tt/pt, F/pf, C] → per-element cotangent [tt·F2, L]."""
-    pt, pf = pool
-    pfk = pf // k
-    if k > 1:
-        dout = jnp.concatenate([dout] * k, axis=-1)  # broadcast over lane-copies
-    d = dout.reshape(tt // pt, 1, F2 // pfk, 1, L)
-    d = jnp.broadcast_to(d, (tt // pt, pt, F2 // pfk, pfk, L))
-    return (d / (pt * pf)).reshape(tt * F2, L)
-
-
 def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
-                       var_ref, w_ref, b_ref,
+                       var_ref, w_ref, b_ref, bm_ref,
                        dw_ref, db_ref, s1_ref, s2_ref, dyp_ref,
                        *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
@@ -203,7 +222,7 @@ def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
         s2_ref[:] = jnp.zeros_like(s2_ref)
 
     y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
-    dout_up = _upsample(dout_ref[0].astype(jnp.float32), tt, F2, L, k, C, pool)
+    dout_up = _upsample_mxu(dout_ref[0], bm_ref[:], L, k, C, pool, lp)
     xn, dlin, dxn = _recompute_dxn(
         y, dout_up, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:],
         w_ref[:], b_ref[:], eps, rate, 1.0 - rate, _seed_for(seed_ref, nt),
@@ -284,6 +303,7 @@ def _specs(tt, F2, L, pool, B, T, k, C):
         pl.BlockSpec(memory_space=pltpu.VMEM),  # var
         pl.BlockSpec(memory_space=pltpu.VMEM),  # glu_w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # glu_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # pooling expansion matrix
     ]
     F = F2 * k
     out_spec = pl.BlockSpec(
@@ -309,6 +329,7 @@ def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, 
         nt=nt, train=train, lp=y.dtype == jnp.bfloat16,
     )
     args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
+    bmt = jnp.asarray(_expand_matrix(tt, F2, pt, pf // k).T)  # pool orientation
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -317,7 +338,7 @@ def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, 
         out_shape=jax.ShapeDtypeStruct((B, T // pt, F // pf, C), y.dtype),
         compiler_params=None if interpret else _params(),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), *args)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *args, bmt)
 
 
 def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps,
@@ -344,6 +365,7 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
         eps=eps, nt=nt, train=train, lp=lp,
     )
     args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
+    bm = jnp.asarray(_expand_matrix(tt, F2, pt, pf // k))  # upsample orientation
     dwL, dbL, s1L, s2L, dyp = pl.pallas_call(
         reduce_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -358,7 +380,7 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
         ],
         compiler_params=None if interpret else _params(),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), args[0], dout, *args[1:])
+    )(jnp.asarray(seed, jnp.int32).reshape(1), args[0], dout, *args[1:], bm)
 
     # fold per-lane partial sums to per-channel totals, then precompute the
     # global through-statistics coefficients for the elementwise fixup pass:

@@ -18,11 +18,13 @@ mel scale with no filter normalization, amplitude_to_db with amin=1e-5,
 ref=1, top_db=80 where the max is taken per clip (the reference applies it
 per sample on the host).
 
-Two STFT execution paths:
-  * "matmul" (default) — windowed DFT as two real matmuls on the MXU
-    (frames @ cos/sin bases), the GEMM-native frontend strategy: on TPU the
-    128×128 systolic array turns the O(N²) DFT into the fastest path at
-    these sizes, and XLA fuses window/magnitude/mel around it.
+Three STFT execution paths:
+  * "chunked" (default) — gather-free framing: the audio is viewed as
+    hop-sized rows (a pure reshape) and the frame matrix is assembled from
+    shifted row-slices (vectorized strided copies instead of XLA's gather,
+    which alone cost ~3.5 ms/step at B=96 on v5e), then the windowed DFT
+    runs as the same two MXU matmuls as "matmul" mode.
+  * "matmul" — windowed DFT as two real matmuls on explicit gathered frames.
   * "fft" — jnp.fft.rfft on the framed signal. NB: XLA:CPU code-generates
     per-FFT (compile time scales with the 864-frame batch — minutes), so
     this path is only practical on TPU or for small frame counts.
@@ -110,6 +112,8 @@ def dft_bases(n_fft: int, window: np.ndarray) -> tuple:
     return cos_b, sin_b
 
 
+
+
 # --------------------------------------------------------------------------
 # Batched device ops
 # --------------------------------------------------------------------------
@@ -174,7 +178,7 @@ class MelFrontend:
         max_frames: int = 864,
         amin: float = 1e-5,
         top_db: float = 80.0,
-        stft_mode: str = "matmul",
+        stft_mode: str = "chunked",
         compute_dtype=jnp.float32,
     ):
         self.sample_rate = sample_rate
@@ -192,7 +196,7 @@ class MelFrontend:
         self.mel_fb = jnp.asarray(
             mel_filterbank(sample_rate, n_window, n_mels, f_min, f_max)
         )
-        if stft_mode == "matmul":
+        if stft_mode in ("matmul", "chunked"):
             cos_b, sin_b = dft_bases(n_window, window)
             self.cos_basis = jnp.asarray(cos_b)
             self.sin_basis = jnp.asarray(sin_b)
@@ -205,6 +209,8 @@ class MelFrontend:
     @functools.partial(jax.jit, static_argnums=0)
     def stft_magnitude(self, padded: jnp.ndarray) -> jnp.ndarray:
         """[B, Lp] (already reflect-padded) → |STFT| [B, T, n_bins]."""
+        if self.stft_mode == "chunked":
+            return self._stft_magnitude_chunked(padded)
         frames = frame_signal(padded, self.max_frames, self.n_window, self.hop_length)
         if self.stft_mode == "matmul":
             f = frames.astype(self.compute_dtype)
@@ -215,6 +221,31 @@ class MelFrontend:
             return jnp.sqrt(re * re + im * im)
         spec = jnp.fft.rfft(frames * self.window, n=self.n_window, axis=-1)
         return jnp.abs(spec).astype(jnp.float32)
+
+    def _stft_magnitude_chunked(self, padded: jnp.ndarray) -> jnp.ndarray:
+        """Gather-free STFT: view the audio as hop-sized rows (pure reshape),
+        assemble the [B, T, n_fft] frame matrix from shifted row-slices of
+        the chunk view (vectorized strided copies — XLA's gather framing
+        costs ~3.5 ms/step at B=96, this concat ~1 ms), then the usual
+        windowed-DFT matmuls. Accumulating per-chunk matmuls instead would
+        stream the [B, T, n_bins] f32 accumulator once per chunk (~8 ms)."""
+        B = padded.shape[0]
+        hop, nfft, T = self.hop_length, self.n_window, self.max_frames
+        n_splits = -(-nfft // hop)
+        rows_needed = T + n_splits - 1
+        need = rows_needed * hop
+        if padded.shape[1] < need:
+            padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+        chunks = padded[:, :need].reshape(B, rows_needed, hop).astype(self.compute_dtype)
+        parts = [chunks[:, j: j + T, :] for j in range(n_splits - 1)]
+        tail = nfft - (n_splits - 1) * hop
+        parts.append(chunks[:, n_splits - 1: n_splits - 1 + T, :tail])
+        frames = jnp.concatenate(parts, axis=-1)  # [B, T, n_fft]
+        re = jnp.einsum("btn,nk->btk", frames, self.cos_basis.astype(self.compute_dtype),
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("btn,nk->btk", frames, self.sin_basis.astype(self.compute_dtype),
+                        preferred_element_type=jnp.float32)
+        return jnp.sqrt(re * re + im * im)
 
     @functools.partial(jax.jit, static_argnums=0)
     def linear_mel(self, padded: jnp.ndarray) -> jnp.ndarray:

@@ -181,3 +181,25 @@ def test_attention_semantics_class_softmax_time_norm(rand_state_and_input):
     w = np.asarray(weak)
     assert (w <= s.max(axis=1) + 1e-6).all()
     assert (w >= s.min(axis=1) - 1e-6).all()
+
+
+def test_entry_conv_packed_matches_lax_conv():
+    """conv2d_entry_packed (strided-slice im2col, packed output) computes the
+    same 3x3 s1 p1 single-channel conv as lax.conv_general_dilated."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcase2019_task4_tpu.models import layers as L
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 1)).astype(np.float32))
+    params = L.conv2d_init(jax.random.PRNGKey(0), 1, 64, 3)
+    ref = L.conv2d_apply(params, x)
+    out = L.conv2d_entry_packed(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # gradient parity through both formulations
+    ct = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    g1 = jax.grad(lambda p: jnp.sum(L.conv2d_apply(p, x) * ct))(params)
+    g2 = jax.grad(lambda p: jnp.sum(L.conv2d_entry_packed(p, x) * ct))(params)
+    np.testing.assert_allclose(np.asarray(g2["w"]), np.asarray(g1["w"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2["b"]), np.asarray(g1["b"]), rtol=1e-4, atol=1e-4)

@@ -76,6 +76,18 @@ def test_stft_matmul_mode_matches_torch():
     np.testing.assert_allclose(mag, ref, rtol=2e-2, atol=5e-2)
 
 
+def test_stft_chunked_mode_matches_matmul_and_torch():
+    """The gather-free hop-chunked DFT computes the same sums as the framed
+    matmul path (different accumulation grouping only)."""
+    audio = _rand_audio(2, seed=11)
+    padded = reflect_pad_audio(jnp.asarray(audio), NFFT)
+    mag_c = np.asarray(MelFrontend(stft_mode="chunked").stft_magnitude(padded))
+    mag_m = np.asarray(MelFrontend(stft_mode="matmul").stft_magnitude(padded))
+    np.testing.assert_allclose(mag_c, mag_m, rtol=1e-4, atol=1e-3)
+    ref = torch_stft_mag(audio)[:, :T]
+    np.testing.assert_allclose(mag_c, ref, rtol=2e-2, atol=5e-2)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(SR, NFFT, NMELS, 0.0, 22050.0)  # [bins, mels]
     assert fb.shape == (1025, NMELS)
