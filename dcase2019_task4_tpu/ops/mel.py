@@ -208,9 +208,13 @@ class MelFrontend:
 
     @functools.partial(jax.jit, static_argnums=0)
     def stft_magnitude(self, padded: jnp.ndarray) -> jnp.ndarray:
-        """[B, Lp] (already reflect-padded) → |STFT| [B, T, n_bins]."""
+        """[B, Lp] (already reflect-padded) → |STFT| [B, T, n_bins].
+        Accepts int16 PCM (dequantized on device; the chunked path reshapes
+        the int16 first — half the relayout bytes)."""
         if self.stft_mode == "chunked":
             return self._stft_magnitude_chunked(padded)
+        if padded.dtype == jnp.int16:
+            padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
         frames = frame_signal(padded, self.max_frames, self.n_window, self.hop_length)
         if self.stft_mode == "matmul":
             f = frames.astype(self.compute_dtype)
@@ -236,7 +240,11 @@ class MelFrontend:
         need = rows_needed * hop
         if padded.shape[1] < need:
             padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
-        chunks = padded[:, :need].reshape(B, rows_needed, hop).astype(self.compute_dtype)
+        chunks = padded[:, :need].reshape(B, rows_needed, hop)
+        if chunks.dtype == jnp.int16:  # dequantize AFTER the relayout
+            chunks = chunks.astype(self.compute_dtype) * (1.0 / 32768.0)
+        else:
+            chunks = chunks.astype(self.compute_dtype)
         parts = [chunks[:, j: j + T, :] for j in range(n_splits - 1)]
         tail = nfft - (n_splits - 1) * hop
         parts.append(chunks[:, n_splits - 1: n_splits - 1 + T, :tail])

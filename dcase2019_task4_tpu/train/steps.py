@@ -103,7 +103,11 @@ def make_train_step(
             student = batch["features"]
             teacher = batch.get("features_teacher", student)
             return student, teacher
-        audio = dequantize_audio(batch["audio"])
+        audio = batch["audio"]
+        if frontend.stft_mode != "chunked":
+            # the chunked frontend dequantizes int16 itself, after its
+            # hop-chunk relayout (half the reshape bytes)
+            audio = dequantize_audio(audio)
         if mean_teacher:
             student, teacher = frontend.log_mel_pair(audio, batch["frames"], rng, noise_std)
         else:
