@@ -1,0 +1,240 @@
+"""Fused Pallas STFT→mel kernel: audio chunks in, linear mel out.
+
+Replaces the XLA "chunked" STFT path (ops/mel.py, itself replacing the
+reference's host-side librosa pipeline, DatasetDcase2019Task4.py:197-231)
+for the hot training/eval step on TPU. The XLA path materializes the
+windowed frame matrix [B, T, n_fft] (340 MB bf16 at B=96) plus the
+magnitude spectrogram [B, T, n_bins] (340 MB f32) in HBM between the DFT
+matmuls, the |·| elementwise pass, and the mel matmul. This kernel keeps
+everything per-tile in VMEM:
+
+  per grid step (one clip b × one tile of `tt` frames):
+    read hop-chunk rows [tt+E, hop]  (int16 PCM or f32; ~0.2 MB)
+    → dequantize/cast → windowed real-DFT as P part-matmuls against
+      resident [hop, NB] cos/sin bases (frame f = concat of hop-rows
+      f..f+P, so part p of every frame is chunk-row f+p — the frame
+      matrix never exists, not even in VMEM)
+    → magnitude → mel matmul ([NB, M]) → write [tt, M] f32.
+
+HBM traffic becomes: audio once (85 MB int16) + bases once (resident
+across the sequential grid) + mel out (21 MB) — vs ~1 GB for the XLA
+chain. The MXU work is identical minus lane padding: n_bins = 1025 pads
+to 1152 lanes in XLA (+12 % wasted MXU columns); here the bases are
+trimmed to the 1024 bins the mel matrix actually reads (the Nyquist
+triangle weight is exactly 0 whenever f_max ≤ sr/2 — asserted at
+construction), a perfect 8×128 lanes.
+
+Numerics match the XLA chunked path bit-for-bit in spirit (same bf16/f32
+cast points, f32 accumulation via preferred_element_type) and to float
+tolerance in practice (the mel contraction drops 1025-NB exactly-zero
+terms, which only reassociates the sum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+class FusedMelBases(NamedTuple):
+    """Device-resident constants for the kernel (built once per frontend).
+
+    cos/sin_main: [P, hop, NB] — windowed-DFT basis rows p·hop..(p+1)·hop.
+    cos/sin_tail: [tail, NB] — basis rows P·hop..n_fft (absent ⇒ tail 0).
+    mel_fb:      [NB, M] f32 — Slaney mel matrix trimmed to NB bins.
+    """
+
+    cos_main: jax.Array
+    sin_main: jax.Array
+    cos_tail: jax.Array | None
+    sin_tail: jax.Array | None
+    mel_fb: jax.Array
+
+
+def trimmed_bins(mel_fb_full: np.ndarray, tol: float = 1e-8) -> int:
+    """Number of leading spectrogram bins with non-negligible mel weight.
+
+    The Slaney triangle at f_max evaluates to ~1e-15 (mel↔hz roundtrip
+    epsilon) rather than exactly 0 at the Nyquist bin, so trimming uses a
+    tolerance relative to the peak weight; a dropped bin perturbs the mel
+    output by ≤ tol·|mag| — orders below the bf16 compute noise."""
+    w = np.abs(mel_fb_full).sum(axis=1)
+    nz = np.nonzero(w > tol * max(np.abs(mel_fb_full).max(), 1e-30))[0]
+    return int(nz[-1]) + 1 if nz.size else 1
+
+
+def build_bases(
+    cos_full: np.ndarray,
+    sin_full: np.ndarray,
+    mel_fb_full: np.ndarray,
+    hop: int,
+    compute_dtype,
+) -> FusedMelBases:
+    """Split the [n_fft, n_bins] windowed-DFT bases into hop-width parts and
+    trim all constants to the mel-reachable bins."""
+    n_fft = cos_full.shape[0]
+    nb = trimmed_bins(mel_fb_full)
+    p_full = n_fft // hop
+    tail = n_fft - p_full * hop
+    cdtype = jnp.dtype(compute_dtype)
+    cos_main = np.stack([cos_full[p * hop : (p + 1) * hop, :nb] for p in range(p_full)])
+    sin_main = np.stack([sin_full[p * hop : (p + 1) * hop, :nb] for p in range(p_full)])
+    out = FusedMelBases(
+        cos_main=jnp.asarray(cos_main, cdtype),
+        sin_main=jnp.asarray(sin_main, cdtype),
+        cos_tail=jnp.asarray(cos_full[p_full * hop :, :nb], cdtype) if tail else None,
+        sin_tail=jnp.asarray(sin_full[p_full * hop :, :nb], cdtype) if tail else None,
+        mel_fb=jnp.asarray(mel_fb_full[:nb], jnp.float32),
+    )
+    return out
+
+
+def extra_rows(n_fft: int, hop: int) -> int:
+    """Hop-chunk rows a frame tile reads beyond its own tt rows."""
+    p_full, tail = n_fft // hop, n_fft % hop
+    return p_full if tail else p_full - 1
+
+
+def padded_extra_rows(n_fft: int, hop: int) -> int:
+    """extra_rows rounded up to the 8-sublane block granularity Mosaic
+    requires of the overlap ref (the surplus rows are zero-fill)."""
+    e = extra_rows(n_fft, hop)
+    return -(-e // 8) * 8 if e else 0
+
+
+def pick_tile(T: int, n_fft: int, hop: int, max_tile: int = 256) -> int:
+    """Largest frame-tile size tt ≤ max_tile with T % tt == 0 and
+    tt % padded_extra_rows == 0 (required by the tail-ref index map and
+    Mosaic's 8-sublane block rule)."""
+    e = max(padded_extra_rows(n_fft, hop), 8)
+    for tt in range(min(T, max_tile), 0, -1):
+        if T % tt == 0 and tt % e == 0:
+            return tt
+    return 0
+
+
+def _kernel(main_ref, tail_ref, cosm_ref, sinm_ref, cost_ref, sint_ref,
+            mel_ref, out_ref, *, tt, hop, tail_w, p_full, compute_dtype, in_scale):
+    rows_m = main_ref[0]
+    parts = [rows_m]
+    if tail_ref is not None:
+        e = extra_rows(tail_w + p_full * hop, hop)
+        parts.append(tail_ref[0][:e])
+    rows = jnp.concatenate(parts, axis=0) if len(parts) > 1 else rows_m
+    rows = rows.astype(compute_dtype)
+    if in_scale != 1.0:
+        # exact in any float dtype: in_scale is a power of two
+        rows = rows * jnp.asarray(in_scale, compute_dtype)
+    # precision pinned explicitly so the global jax_default_matmul_precision
+    # cannot leak in: "highest" on bf16 operands requests an fp32-contract
+    # matmul Mosaic cannot lower ("Bad lhs type"). bf16 compute = DEFAULT
+    # (bf16 operands are already the precision choice); f32 compute =
+    # HIGHEST (exact fp32 contraction).
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(compute_dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=prec
+    )
+    re = jnp.zeros((tt, cosm_ref.shape[-1]), jnp.float32)
+    im = jnp.zeros((tt, cosm_ref.shape[-1]), jnp.float32)
+    for p in range(p_full):
+        lhs = rows[p : p + tt, :]
+        re += dot(lhs, cosm_ref[p])
+        im += dot(lhs, sinm_ref[p])
+    if tail_w:
+        lhs = rows[p_full : p_full + tt, :tail_w]
+        re += dot(lhs, cost_ref[...])
+        im += dot(lhs, sint_ref[...])
+    mag = jnp.sqrt(re * re + im * im)
+    out_ref[0] = dot(mag, mel_ref[...])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop", "T", "tt", "compute_dtype", "interpret"),
+)
+def fused_stft_mel(
+    chunks: jax.Array,
+    bases: FusedMelBases,
+    *,
+    n_fft: int,
+    hop: int,
+    T: int,
+    tt: int,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """chunks [B, R, hop] (R ≥ T + extra_rows; int16 PCM or float) →
+    linear mel [B, T, M] f32.
+
+    Frame t of clip b spans chunk rows t..t+P (librosa framing after the
+    hop-row reshape); a grid step handles `tt` frames of one clip, reading
+    rows [i·tt, i·tt+tt+E) via a main block plus an E-row overlap block of
+    the same array (offset (i+1)·tt — legal because tt % E == 0)."""
+    B, R, hop_in = chunks.shape
+    assert hop_in == hop
+    p_full, tail_w = n_fft // hop, n_fft % hop
+    e = padded_extra_rows(n_fft, hop)
+    assert T % tt == 0 and (not e or tt % e == 0), (T, tt, e)
+    assert R >= T + e, (R, T, e)
+    cdtype = jnp.dtype(compute_dtype)
+    in_scale = 1.0 / 32768.0 if chunks.dtype == jnp.int16 else 1.0
+
+    grid = (B, T // tt)
+    in_specs = [
+        pl.BlockSpec((1, tt, hop), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [chunks]
+    if e:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, e, hop), lambda b, i, _tt=tt, _e=e: (b, (i + 1) * (_tt // _e), 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(chunks)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs += [const, const]
+    args += [bases.cos_main, bases.sin_main]
+    if tail_w:
+        in_specs += [const, const]
+        args += [bases.cos_tail, bases.sin_tail]
+    in_specs.append(const)
+    args.append(bases.mel_fb)
+
+    M = bases.mel_fb.shape[1]
+
+    def kern(*refs):
+        it = iter(refs)
+        main_ref = next(it)
+        tail_ref = next(it) if e else None
+        cosm_ref, sinm_ref = next(it), next(it)
+        cost_ref = next(it) if tail_w else None
+        sint_ref = next(it) if tail_w else None
+        mel_ref, out_ref = next(it), next(it)
+        _kernel(
+            main_ref, tail_ref, cosm_ref, sinm_ref, cost_ref, sint_ref,
+            mel_ref, out_ref, tt=tt, hop=hop, tail_w=tail_w, p_full=p_full,
+            compute_dtype=cdtype, in_scale=in_scale,
+        )
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tt, M), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)

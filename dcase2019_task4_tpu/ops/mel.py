@@ -178,8 +178,9 @@ class MelFrontend:
         max_frames: int = 864,
         amin: float = 1e-5,
         top_db: float = 80.0,
-        stft_mode: str = "chunked",
+        stft_mode: str = "auto",
         compute_dtype=jnp.float32,
+        pallas_interpret: bool = False,
     ):
         self.sample_rate = sample_rate
         self.n_window = n_window
@@ -188,18 +189,41 @@ class MelFrontend:
         self.max_frames = max_frames
         self.amin = amin
         self.top_db = top_db
-        self.stft_mode = stft_mode
         self.compute_dtype = compute_dtype
+        self.pallas_interpret = pallas_interpret
 
         window = hamming_window(n_window)
         self.window = jnp.asarray(window)
-        self.mel_fb = jnp.asarray(
-            mel_filterbank(sample_rate, n_window, n_mels, f_min, f_max)
-        )
-        if stft_mode in ("matmul", "chunked"):
+        fb = mel_filterbank(sample_rate, n_window, n_mels, f_min, f_max)
+        self.mel_fb = jnp.asarray(fb)
+
+        # "auto": the fully-fused Pallas STFT→mel kernel on TPU (no frame /
+        # magnitude tensors in HBM, ops/fused_mel.py), the XLA chunked path
+        # elsewhere. pallas_interpret forces the kernel in interpret mode
+        # (CPU correctness tests).
+        if stft_mode == "auto":
+            if pallas_interpret or jax.default_backend() == "tpu":
+                stft_mode = "pallas"
+            else:
+                stft_mode = "chunked"
+        if stft_mode == "pallas":
+            from dcase2019_task4_tpu.ops import fused_mel as _fm
+
+            tt = _fm.pick_tile(max_frames, n_window, hop_length)
+            if tt == 0:
+                stft_mode = "chunked"  # no legal frame tile for these params
+            else:
+                self._fused_tt = tt
+        self.stft_mode = stft_mode
+
+        if stft_mode in ("matmul", "chunked", "pallas"):
             cos_b, sin_b = dft_bases(n_window, window)
             self.cos_basis = jnp.asarray(cos_b)
             self.sin_basis = jnp.asarray(sin_b)
+        if stft_mode == "pallas":
+            self._fused_bases = _fm.build_bases(
+                cos_b, sin_b, fb, hop_length, jnp.dtype(compute_dtype)
+            )
 
     # ----------------------------------------------------------- pieces
     # (each public method is jitted with `self` static: instances hash by
@@ -211,7 +235,7 @@ class MelFrontend:
         """[B, Lp] (already reflect-padded) → |STFT| [B, T, n_bins].
         Accepts int16 PCM (dequantized on device; the chunked path reshapes
         the int16 first — half the relayout bytes)."""
-        if self.stft_mode == "chunked":
+        if self.stft_mode in ("chunked", "pallas"):
             return self._stft_magnitude_chunked(padded)
         if padded.dtype == jnp.int16:
             padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
@@ -226,6 +250,19 @@ class MelFrontend:
         spec = jnp.fft.rfft(frames * self.window, n=self.n_window, axis=-1)
         return jnp.abs(spec).astype(jnp.float32)
 
+    def _hop_chunks(self, padded: jnp.ndarray, min_rows: int = 0) -> jnp.ndarray:
+        """[B, Lp] → hop-row view [B, max(T + n_splits − 1, min_rows), hop]
+        in the original dtype (pure reshape plus zero-fill to the row
+        boundary)."""
+        B = padded.shape[0]
+        hop, nfft, T = self.hop_length, self.n_window, self.max_frames
+        n_splits = -(-nfft // hop)
+        rows_needed = max(T + n_splits - 1, min_rows)
+        need = rows_needed * hop
+        if padded.shape[1] < need:
+            padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+        return padded[:, :need].reshape(B, rows_needed, hop)
+
     def _stft_magnitude_chunked(self, padded: jnp.ndarray) -> jnp.ndarray:
         """Gather-free STFT: view the audio as hop-sized rows (pure reshape),
         assemble the [B, T, n_fft] frame matrix from shifted row-slices of
@@ -233,14 +270,9 @@ class MelFrontend:
         costs ~3.5 ms/step at B=96, this concat ~1 ms), then the usual
         windowed-DFT matmuls. Accumulating per-chunk matmuls instead would
         stream the [B, T, n_bins] f32 accumulator once per chunk (~8 ms)."""
-        B = padded.shape[0]
         hop, nfft, T = self.hop_length, self.n_window, self.max_frames
         n_splits = -(-nfft // hop)
-        rows_needed = T + n_splits - 1
-        need = rows_needed * hop
-        if padded.shape[1] < need:
-            padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
-        chunks = padded[:, :need].reshape(B, rows_needed, hop)
+        chunks = self._hop_chunks(padded)
         if chunks.dtype == jnp.int16:  # dequantize AFTER the relayout
             chunks = chunks.astype(self.compute_dtype) * (1.0 / 32768.0)
         else:
@@ -257,7 +289,26 @@ class MelFrontend:
 
     @functools.partial(jax.jit, static_argnums=0)
     def linear_mel(self, padded: jnp.ndarray) -> jnp.ndarray:
-        """|STFT| → linear mel [B, T, n_mels] (matmul on the MXU)."""
+        """|STFT| → linear mel [B, T, n_mels] (matmul on the MXU). In
+        "pallas" mode the whole STFT→magnitude→mel chain runs as one fused
+        kernel (ops/fused_mel.py) — no frame or spectrogram tensor in HBM."""
+        if self.stft_mode == "pallas":
+            from dcase2019_task4_tpu.ops.fused_mel import fused_stft_mel, padded_extra_rows
+
+            return fused_stft_mel(
+                self._hop_chunks(
+                    padded,
+                    min_rows=self.max_frames
+                    + padded_extra_rows(self.n_window, self.hop_length),
+                ),
+                self._fused_bases,
+                n_fft=self.n_window,
+                hop=self.hop_length,
+                T=self.max_frames,
+                tt=self._fused_tt,
+                compute_dtype=jnp.dtype(self.compute_dtype),
+                interpret=self.pallas_interpret,
+            )
         mag = self.stft_magnitude(padded)
         return jnp.einsum("btk,km->btm", mag, self.mel_fb,
                           preferred_element_type=jnp.float32)
@@ -317,7 +368,7 @@ class MelFrontend:
     def __hash__(self):
         return hash((self.sample_rate, self.n_window, self.hop_length, self.n_mels,
                      self.max_frames, self.amin, self.top_db, self.stft_mode,
-                     str(self.compute_dtype)))
+                     str(self.compute_dtype), self.pallas_interpret))
 
     def __eq__(self, other):
         return isinstance(other, MelFrontend) and hash(self) == hash(other)

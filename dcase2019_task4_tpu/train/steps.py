@@ -104,9 +104,9 @@ def make_train_step(
             teacher = batch.get("features_teacher", student)
             return student, teacher
         audio = batch["audio"]
-        if frontend.stft_mode != "chunked":
-            # the chunked frontend dequantizes int16 itself, after its
-            # hop-chunk relayout (half the reshape bytes)
+        if frontend.stft_mode not in ("chunked", "pallas"):
+            # the chunked/pallas frontends dequantize int16 themselves,
+            # after the hop-chunk relayout (half the reshape bytes)
             audio = dequantize_audio(audio)
         if mean_teacher:
             student, teacher = frontend.log_mel_pair(audio, batch["frames"], rng, noise_std)
