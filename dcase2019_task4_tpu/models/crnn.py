@@ -97,7 +97,10 @@ class CRNN:
             ):
                 # entry conv as a packed im2col matmul: writes the lane-packed
                 # row-major layout the fused blocks read, eliminating XLA's
-                # batch-minor conv layout and ~9 ms/step of copies (B=96, v5e)
+                # batch-minor conv layout and ~9 ms/step of copies (B=96, v5e).
+                # (conv2d_entry_rowmat is NOT used here: its [B,T,F·C] output
+                # is t-sublane-tiled while the fused blocks read f-sublane
+                # tiles — the forced relayout costs more than it saves.)
                 x = L.conv2d_entry_packed(block["conv"], x.astype(compute_dtype))
             else:
                 x = L.conv2d_apply(block["conv"], x.astype(compute_dtype), cfg.stride[i], cfg.padding[i])

@@ -94,6 +94,54 @@ def conv2d_entry_packed(params, x):
     return out.reshape(B, T, F, C)
 
 
+def conv2d_entry_rowmat(params, x):
+    """Single-input-channel 3×3 s1 p1 conv as ONE row-level banded matmul.
+
+    An alternative to conv2d_entry_packed for configurations its k-packing
+    cannot serve (C ≥ 128 or F not divisible by 128//C). NOT used in the
+    fused-block CRNN: the [B, T, F·C]-shaped output is t-sublane-tiled
+    while the fused Pallas blocks read f-sublane tiles, and the forced
+    relayout (~6 ms at B=96 on v5e) exceeds the patch-tensor saving. Here
+    the im2col happens at the **row** level: the patch for output row
+    (b, t) is just the three time-shifted feature rows, and the freq
+    shifts are folded into the weight's band structure:
+
+        out[b,t, f·C+c] = Σ_{dt,i} xcat[b,t, dt·F+i] · Wbig[dt·F+i, f·C+c]
+        Wbig[dt·F+i, f·C+c] = w[dt, i−f+1, c]   (zero outside the band)
+
+    xcat = concat of x[t−1], x[t], x[t+1] → [B, T, 3F] (lane-aligned-ish,
+    42 MB bf16), Wbig [3F, F·C] is built from the 3×3 kernel by a tiny
+    einsum against a constant band selector, so the conv weight gradient
+    flows through automatically. The [B, T, F·C] output reshapes (pure
+    bitcast) to the [B, T, F/k, k·C] lane-packed row-major view the fused
+    Pallas blocks read. The dense formulation spends 21× the conv's FLOPs
+    (130 GFLOP/step at B=96) but runs ~0.7 ms on the MXU — HBM layout, not
+    FLOPs, is the binding constraint for this op.
+
+    x: [B, T, F, 1] → [B, T, F, C]."""
+    w = params["w"]  # [3, 3, 1, C]
+    C = w.shape[-1]
+    B, T, F, _ = x.shape
+    xs = x[..., 0]
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (0, 0)))
+    xcat = jnp.concatenate(
+        [xp[:, 0:T], xp[:, 1 : T + 1], xp[:, 2 : T + 2]], axis=-1
+    )  # [B, T, 3F]
+    # band selector Q[df, i, f] = 1 iff i − f + 1 == df (freq zero-padding
+    # emerges from band clipping at f = 0 and f = F−1)
+    i_idx = np.arange(F)[:, None]
+    f_idx = np.arange(F)[None, :]
+    Q = np.stack([(i_idx - f_idx + 1 == df).astype(np.float32) for df in range(3)])
+    wbig = jnp.einsum("xif,dxc->difc", jnp.asarray(Q), w[:, :, 0, :]).reshape(
+        3 * F, F * C
+    )
+    out = jnp.einsum(
+        "btj,jl->btl", xcat.astype(x.dtype), wbig.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + jnp.tile(params["b"], F).astype(x.dtype)
+    return out.reshape(B, T, F, C)
+
+
 # -------------------------------------------------------------- batchnorm
 
 def batchnorm_init(key, ch: int):

@@ -203,3 +203,26 @@ def test_entry_conv_packed_matches_lax_conv():
     g2 = jax.grad(lambda p: jnp.sum(L.conv2d_entry_packed(p, x) * ct))(params)
     np.testing.assert_allclose(np.asarray(g2["w"]), np.asarray(g1["w"]), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g2["b"]), np.asarray(g1["b"]), rtol=1e-4, atol=1e-4)
+
+
+def test_entry_conv_rowmat_matches_lax_conv():
+    """conv2d_entry_rowmat (row-level banded matmul) computes the same
+    3x3 s1 p1 single-channel conv as lax.conv_general_dilated, including
+    freq-edge zero padding via band clipping, for square and non-square F/C."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcase2019_task4_tpu.models import layers as L
+
+    rng = np.random.default_rng(11)
+    for F, C in ((64, 64), (16, 24)):
+        x = jnp.asarray(rng.standard_normal((2, 12, F, 1)).astype(np.float32))
+        params = L.conv2d_init(jax.random.PRNGKey(1), 1, C, 3)
+        ref = L.conv2d_apply(params, x)
+        out = L.conv2d_entry_rowmat(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+        ct = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+        g1 = jax.grad(lambda p: jnp.sum(L.conv2d_apply(p, x) * ct))(params)
+        g2 = jax.grad(lambda p: jnp.sum(L.conv2d_entry_rowmat(p, x) * ct))(params)
+        np.testing.assert_allclose(np.asarray(g2["w"]), np.asarray(g1["w"]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g2["b"]), np.asarray(g1["b"]), rtol=1e-4, atol=1e-4)
