@@ -33,6 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# scan unroll factor: amortizes TPU loop overhead; swept on v5e at the
+# reference size (T=108): 8→0.96 ms, 16→1.30, 27→0.76, 54→0.77, 108→5.1
+# (full unroll blows the instruction budget) — module-level so experiments
+# can sweep
+SCAN_UNROLL = 27
+
+
 def _orthogonal(key, shape):
     """Orthogonal init matching torch.nn.init.orthogonal_ semantics:
     orthonormal rows if rows ≤ cols else orthonormal columns."""
@@ -114,7 +121,7 @@ def _gru_scan(gates_fwd, gates_bwd, p_fwd, p_bwd, hidden: int):
     h0 = jnp.zeros((2 * B, H), dtype)
     # unroll: amortizes per-iteration loop overhead on TPU (measured ~40x
     # on a standalone scan; the recurrent matmuls are tiny)
-    _, hs = jax.lax.scan(step, h0, gates, unroll=8)  # [T, 2B, H]
+    _, hs = jax.lax.scan(step, h0, gates, unroll=SCAN_UNROLL)  # [T, 2B, H]
     hs = hs.transpose(1, 0, 2)  # [2B, T, H]
     out_fwd, out_bwd_rev = hs[:B], hs[B:]
     return out_fwd, out_bwd_rev[:, ::-1]
@@ -194,7 +201,7 @@ def _lstm_scan(gates_fwd, gates_bwd, p_fwd, p_bwd, hidden: int):
         return (h_new, c_new), h_new
 
     init = (jnp.zeros((2 * B, H), dtype), jnp.zeros((2 * B, H), dtype))
-    _, hs = jax.lax.scan(step, init, gates, unroll=8)
+    _, hs = jax.lax.scan(step, init, gates, unroll=SCAN_UNROLL)
     hs = hs.transpose(1, 0, 2)
     return hs[:B], hs[B:][:, ::-1]
 

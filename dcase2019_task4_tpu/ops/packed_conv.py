@@ -112,6 +112,13 @@ def _halo_rows(head_ref, main_ref, tail_ref, tt, F2, L, dtype):
     )
 
 
+def _precision(dtype):
+    # pinned per-dot so the global matmul-precision flag can't leak in
+    # (Mosaic rejects fp32-contract bf16 matmuls); f32 compute stays exact
+    return (jax.lax.Precision.DEFAULT if jnp.dtype(dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 def _conv_kernel(head_ref, main_ref, tail_ref, parts_ref, bias_ref, out_ref,
                  *, tt, F2, L, dtype):
     rows = _halo_rows(head_ref, main_ref, tail_ref, tt, F2, L, dtype)
@@ -126,7 +133,7 @@ def _conv_kernel(head_ref, main_ref, tail_ref, parts_ref, bias_ref, out_ref,
                 lhs, parts_ref[dt, g + 1].astype(dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=_precision(dtype),
             )
             if g == -1:
                 term = term * lo
@@ -162,7 +169,7 @@ def _wgrad_kernel(head_ref, main_ref, tail_ref, dy_ref, dparts_ref, db_ref,
                 lhs, dyg.astype(dtype),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=_precision(dtype),
             )
     db_ref[:] += jnp.sum(dy, axis=0)
 
