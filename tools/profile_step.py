@@ -1,0 +1,65 @@
+import os
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
+import numpy as np, jax, jax.numpy as jnp, optax, time
+
+from dcase2019_task4_tpu.config import Config, ModelConfig
+from dcase2019_task4_tpu.models.crnn import CRNN
+from dcase2019_task4_tpu.ops.mel import MelFrontend
+from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
+from dcase2019_task4_tpu.utils.profiling import trace, top_device_ops
+
+batch = 96
+cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
+d, t = cfg.dsp, cfg.train
+model = CRNN(cfg.model)
+frontend = MelFrontend(
+    sample_rate=d.sample_rate, n_window=d.n_window, hop_length=d.hop_length,
+    n_mels=d.n_mels, f_min=d.f_min, f_max=d.f_max, max_frames=d.max_frames,
+    compute_dtype="bfloat16",
+)
+print('frontend mode:', frontend.stft_mode)
+optimizer = optax.adam(t.lr, b1=t.beta1, b2=t.beta2, eps=t.adam_eps)
+q = batch // 4
+step = make_train_step(
+    model, optimizer, slice(0, q), slice(3 * q, batch),
+    mean_teacher=True, rampup_length=100 * 300,
+    frontend=frontend,
+    scaler_mean=np.zeros(d.n_mels, np.float32),
+    scaler_std=np.ones(d.n_mels, np.float32),
+    noise_std=t.noise_std,
+)
+state = init_train_state(model, optimizer, jax.random.PRNGKey(0), with_ema=True)
+rng = jax.random.PRNGKey(1)
+Lp = d.sample_rate * 10 + d.n_window
+rngn = np.random.default_rng(0)
+batchd = {
+    "audio": jax.device_put(jnp.asarray((rngn.standard_normal((batch, Lp)) * 5000).astype(np.int16))),
+    "frames": jax.device_put(jnp.full((batch,), d.max_frames, jnp.int32)),
+    "target": jax.device_put(jnp.zeros((batch, d.max_frames // 8, 10), jnp.float32)),
+}
+state, m = step(state, batchd, rng)
+jax.block_until_ready(state)
+# timed
+t0 = time.perf_counter()
+for _ in range(20):
+    state, m = step(state, batchd, rng)
+print('ms/step:', (lambda _: (time.perf_counter() - t0) / 20 * 1e3)(float(m["loss"])))
+
+td = "/tmp/trace_step"
+with trace(td):
+    for _ in range(5):
+        state, m = step(state, batchd, rng)
+    float(m["loss"])
+ops = top_device_ops(td, top=400)
+tot = sum(ms for _, ms, _ in ops) / 5
+print(f"total device ms/step: {tot:.2f}")
+import re, collections
+groups = collections.defaultdict(float)
+for name, ms, cat in ops:
+    g = re.sub(r"[.\d]+$", "", name)
+    groups[g] += ms / 5
+for g, ms in sorted(groups.items(), key=lambda kv: -kv[1])[:14]:
+    print(f"{ms:8.3f} ms  {g}")
+print('--- top ops ---')
+for name, ms, cat in ops[:30]:
+    print(f"{ms/5:8.3f} ms  {cat[:130]}")
