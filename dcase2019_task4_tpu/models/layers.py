@@ -75,8 +75,12 @@ def conv2d_entry_packed(params, x):
     k = 128 // C if (C < 128 and 128 % C == 0 and F % (128 // C) == 0) else 1
     F2, L, J = F // k, k * C, 3 * (k + 2)
     xp = jnp.pad(x[..., 0], ((0, 0), (1, 1), (1, 1)))
-    patches = jnp.stack(
-        [xp[:, dt: dt + T, e: e + k * F2: k] for dt in range(3) for e in range(k + 2)],
+    # concatenate (not stack): stack lowers to dynamic-update-slices whose
+    # layout XLA picks t-minor, forcing a 0.65 ms relayout copy per model
+    # before the patch matmul (B=96, v5e); concatenate propagates the
+    # consumer's layout
+    patches = jnp.concatenate(
+        [xp[:, dt: dt + T, e: e + k * F2: k, None] for dt in range(3) for e in range(k + 2)],
         axis=-1,
     )  # [B, T, F2, J]
     # embed w into the packed patch basis
