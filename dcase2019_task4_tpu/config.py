@@ -130,8 +130,12 @@ class ModelConfig:
     # statistics, recurrence, heads and losses stay float32
     compute_dtype: str = "float32"
     # fused Pallas BN→GLU→dropout→pool block (ops/fused_block.py):
-    # True | False | None = auto (on for single-device TPU with GLU)
+    # True | False | None = auto (on for TPU with GLU; also works under the
+    # shard_map data-parallel step — see train/steps.py)
     fused_block: "bool | None" = None
+    # run the fused Pallas kernels in interpret mode (CPU tests / dryruns);
+    # auto-enables the fused path off-TPU
+    fused_interpret: bool = False
 
     @property
     def pooling_time_ratio(self) -> int:

@@ -108,9 +108,20 @@ class BatchPipeline:
         hop_length: int,
         max_frames: int,
         seed: int = 0,
+        n_shards: int = 1,
     ):
+        """`batch_sizes` are PER-SHARD sub-batch sizes; the global batch is
+        that layout tiled `n_shards` times and reordered shard-major (each
+        contiguous 1/n_shards chunk is a full [weak | unlabeled | synthetic]
+        per-device layout) so a leading-axis sharding over the mesh gives
+        every device the same stream mix and the shard-local loss slices from
+        `stream_slices()` line up (parallel.mesh.interleave_for_sharding)."""
         self.streams = list(streams)
-        self.sampler = MultiStreamSampler([len(s) for s in streams], batch_sizes, seed)
+        self.per_shard_sizes = list(batch_sizes)
+        self.n_shards = n_shards
+        self.sampler = MultiStreamSampler(
+            [len(s) for s in streams], [b * n_shards for b in batch_sizes], seed
+        )
         self.max_samples = max_samples
         self.n_fft = n_fft
         self.hop_length = hop_length
@@ -124,7 +135,12 @@ class BatchPipeline:
         return self.sampler.batch_size
 
     def stream_slices(self):
-        return self.sampler.stream_slices()
+        """PER-SHARD stream slices (== global slices when n_shards == 1)."""
+        slices, start = [], 0
+        for b in self.per_shard_sizes:
+            slices.append(slice(start, start + b))
+            start += b
+        return slices
 
     def assemble(self, pairs: np.ndarray) -> Dict[str, np.ndarray]:
         """pairs: [batch, 2] of (stream_id, idx) → batch dict (int16 audio).
@@ -132,6 +148,10 @@ class BatchPipeline:
         Uses the C++ batch packer (native/wavpack.cpp) when every clip is a
         plain wav file; files it can't handle (resampling, exotic codecs)
         fall back to the Python path row by row."""
+        if self.n_shards > 1:
+            from dcase2019_task4_tpu.parallel.mesh import interleave_for_sharding
+
+            pairs = interleave_for_sharding(pairs, self.per_shard_sizes, self.n_shards)
         audio, frames = self._pack_audio(pairs)
         targets = np.stack([self.streams[s].targets[i] for s, i in pairs])
         return {"audio": audio, "frames": frames, "target": targets}

@@ -71,8 +71,15 @@ class CRNN:
         x: jnp.ndarray,
         train: bool = False,
         rng=None,
+        batch_axis=None,
+        axis_size: int = 1,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
-        """x: [B, T, F] or [B, T, F, C] → (strong, weak, new_state)."""
+        """x: [B, T, F] or [B, T, F, C] → (strong, weak, new_state).
+
+        `batch_axis`/`axis_size`: when called inside a shard_map over a data
+        mesh axis (train/steps.py), BatchNorm batch statistics are psum'd
+        across the `axis_size` shards of `batch_axis` so training matches the
+        global-batch semantics exactly."""
         cfg = self.cfg
         if x.ndim == 3:
             x = x[..., None]
@@ -82,10 +89,14 @@ class CRNN:
         # via preferred_element_type); everything stateful or
         # probability-producing stays f32
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+        interpret = cfg.fused_interpret
         use_fused = cfg.fused_block
         if use_fused is None:
-            # auto: the Pallas fused block needs a TPU backend; with GLU only
-            use_fused = jax.default_backend() == "tpu" and cfg.activation == "glu"
+            # auto: the Pallas fused block needs a TPU backend (or interpret
+            # mode for CPU tests); with GLU only
+            use_fused = (
+                jax.default_backend() == "tpu" or interpret
+            ) and cfg.activation == "glu"
         new_state: Dict = {"cnn": []}
         for i, block in enumerate(params["cnn"]):
             if (
@@ -108,28 +119,36 @@ class CRNN:
                 and cfg.stride[i] == 1
                 and cfg.padding[i] == 1
                 and block["conv"]["w"].shape[2] == block["conv"]["w"].shape[3]
+                and _packed_conv_tileable(x.shape[1])
             ):
                 # interior convs in the lane-packed layout (Pallas row-shifted
                 # matmuls) — no transpose copies between XLA's batch-minor
-                # conv layout and the fused blocks (ops/packed_conv.py)
+                # conv layout and the fused blocks (ops/packed_conv.py).
+                # _packed_conv_tileable guards non-default time lengths with
+                # no legal multiple-of-8 tile (fall through to XLA's conv).
                 from dcase2019_task4_tpu.ops.packed_conv import conv2d_packed
 
                 x = conv2d_packed(
-                    block["conv"], x.astype(compute_dtype), compute_dtype=compute_dtype
+                    block["conv"], x.astype(compute_dtype), compute_dtype=compute_dtype,
+                    interpret=interpret,
                 )
             else:
                 x = L.conv2d_apply(block["conv"], x.astype(compute_dtype), cfg.stride[i], cfg.padding[i])
-            if use_fused:
+            if use_fused and _fused_block_applicable(x.shape, tuple(cfg.pooling[i])):
                 if train:
                     rng, sub = jax.random.split(rng)
                     seed = jax.random.randint(sub, (), 0, 2**31 - 2**20, dtype=jnp.int32)
                 else:
                     seed = jnp.int32(0)
-                x, bn_s = self._fused_block(block, state["cnn"][i], x, i, seed, train)
+                x, bn_s = self._fused_block(
+                    block, state["cnn"][i], x, i, seed, train,
+                    batch_axis=batch_axis, axis_size=axis_size, interpret=interpret,
+                )
                 new_state["cnn"].append(bn_s)
                 continue
             x, bn_s = L.batchnorm_apply(
-                block["bn"], state["cnn"][i], x, train, cfg.bn_eps, cfg.bn_momentum
+                block["bn"], state["cnn"][i], x, train, cfg.bn_eps, cfg.bn_momentum,
+                axis_name=batch_axis, axis_size=axis_size,
             )
             new_state["cnn"].append(bn_s)
             x = L.activation_apply(cfg.activation, block.get("act"), x)
@@ -199,10 +218,13 @@ class CRNN:
         )
         return out.astype(jnp.dtype(cfg.compute_dtype)), new_bn
 
-    def _fused_block(self, block, bn_state, y, i, seed, train):
+    def _fused_block(self, block, bn_state, y, i, seed, train,
+                     batch_axis=None, axis_size: int = 1, interpret: bool = False):
         """Post-conv chain via the fused Pallas kernel (ops/fused_block.py):
         one HBM pass instead of XLA's several. BN statistics and the
-        running-stat update follow layers.batchnorm_apply exactly."""
+        running-stat update follow layers.batchnorm_apply exactly; under a
+        shard_map data axis the Σx/Σx² reductions psum across shards so the
+        statistics are those of the GLOBAL batch."""
         from dcase2019_task4_tpu.ops.fused_block import fused_bn_glu_dropout_pool
 
         cfg = self.cfg
@@ -219,6 +241,10 @@ class CRNN:
             s = jnp.sum(ys, axis=(0, 1, 2), dtype=jnp.float32)
             sq = jnp.sum(ys.astype(jnp.float32) ** 2, axis=(0, 1, 2))
             n = y.size // y.shape[-1]
+            if batch_axis is not None:
+                s = jax.lax.psum(s, batch_axis)
+                sq = jax.lax.psum(sq, batch_axis)
+                n = n * axis_size
             mean = s / n
             var = sq / n - mean * mean
             unbiased = var * n / max(n - 1, 1)
@@ -237,9 +263,29 @@ class CRNN:
         out = fused_bn_glu_dropout_pool(
             y, block["bn"]["scale"], block["bn"]["bias"], mean, var,
             block["act"]["w"], block["act"]["b"], seed,
-            rate, tuple(cfg.pooling[i]), cfg.bn_eps, train,
+            rate, tuple(cfg.pooling[i]), cfg.bn_eps, train, interpret,
         )
         return out, new_bn
+
+
+def _packed_conv_tileable(T: int) -> bool:
+    """conv2d_packed needs a multiple-of-8 tile dividing T (its halo blocks
+    are 8-row); without one (e.g. T=108) fall back to XLA's conv."""
+    from dcase2019_task4_tpu.ops.packed_conv import _pick_tile
+
+    return _pick_tile(T) > 0
+
+
+def _fused_block_applicable(shape, pool) -> bool:
+    """The fused Pallas block pools whole tiles: needs pool-divisible T/F and
+    a time tile that is a multiple of the time pool."""
+    from dcase2019_task4_tpu.ops.fused_block import _pick_tile
+
+    B, T, F, C = shape
+    pt, pf = pool
+    if T % pt or F % pf:
+        return False
+    return _pick_tile(T, F, C) % pt == 0
 
 
 def count_params(params) -> int:

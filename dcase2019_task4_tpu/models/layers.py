@@ -160,19 +160,29 @@ def batchnorm_init(key, ch: int):
     return params, state
 
 
-def batchnorm_apply(params, state, x, train: bool, eps: float = 1e-3, momentum: float = 0.99):
+def batchnorm_apply(params, state, x, train: bool, eps: float = 1e-3, momentum: float = 0.99,
+                    axis_name=None, axis_size: int = 1):
     """BatchNorm over all axes but channel (torch BatchNorm2d semantics).
 
     torch momentum convention: running ← (1−m)·running + m·batch with the
     reference's m=0.99 (models/CNN.py:52), batch variance biased for
     normalization but unbiased for the running update, exactly like torch.
-    Returns (y, new_state)."""
+    Inside a shard_map over a data-parallel mesh axis, pass
+    `axis_name`/`axis_size`: batch statistics then psum across the shards
+    (global-batch semantics). Returns (y, new_state)."""
     axes = tuple(range(x.ndim - 1))
     if train:
         xf = x.astype(jnp.float32)  # stats accumulate in f32 even for bf16 x
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.var(xf, axis=axes)
-        n = x.size // x.shape[-1]
+        if axis_name is not None:
+            n = (x.size // x.shape[-1]) * axis_size
+            s = jax.lax.psum(jnp.sum(xf, axis=axes), axis_name)
+            sq = jax.lax.psum(jnp.sum(xf * xf, axis=axes), axis_name)
+            mean = s / n
+            var = sq / n - mean * mean
+        else:
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            n = x.size // x.shape[-1]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,

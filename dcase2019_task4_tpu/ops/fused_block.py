@@ -122,9 +122,27 @@ def _chain_fwd(y, scale, bias, mean, var, glu_w, glu_b, eps, lp):
     return xn, lin, sig
 
 
-def _dropout_mask(shape, rate):
-    bits = pltpu.prng_random_bits(shape)
+def _dropout_mask(shape, rate, seed_val=None, interp=False):
+    """Per-tile dropout keep-mask.
+
+    Compiled path: the on-core hardware PRNG (pltpu.prng_seed must have been
+    called with the tile seed). Interpret path (CPU tests/dryruns): a
+    stateless murmur-style integer hash of (seed, element index) in plain
+    jnp ops — the generic Pallas interpreter has no CPU lowering for the TPU
+    PRNG primitives, and the TPU-emulating interpreter's host callbacks
+    deadlock against XLA:CPU collectives under shard_map. Both variants are
+    deterministic per (seed, grid position), which is the property the
+    recompute-based backward relies on."""
     threshold = np.uint32(min(int(rate * 2**32), 2**32 - 1))
+    if interp:
+        idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(shape[1]) \
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        x = idx ^ (seed_val.astype(jnp.uint32) * np.uint32(2654435761))
+        x = (x ^ (x >> 16)) * np.uint32(0x7FEB352D)
+        x = (x ^ (x >> 15)) * np.uint32(0x846CA68B)
+        bits = x ^ (x >> 16)
+        return (bits >= threshold).astype(jnp.float32)
+    bits = pltpu.prng_random_bits(shape)
     return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
 
 
@@ -190,15 +208,18 @@ def _upsample_mxu(dout, bmft, L, k, C, pool, lp, tt, F2):
 
 
 def _fwd_kernel(seed_ref, y_ref, scale_ref, bias_ref, mean_ref, var_ref,
-                w_ref, b_ref, bm_ref, out_ref, *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
+                w_ref, b_ref, bm_ref, out_ref, *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp,
+                interp=False):
     y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
     xn, lin, sig = _chain_fwd(
         y, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:], w_ref[:], b_ref[:], eps, lp
     )
     g = lin * sig
     if train and rate > 0.0:
-        pltpu.prng_seed(_seed_for(seed_ref, nt))
-        g = g * _dropout_mask((tt * F2, L), rate) * (1.0 / (1.0 - rate))
+        seed_val = _seed_for(seed_ref, nt)
+        if not interp:
+            pltpu.prng_seed(seed_val)
+        g = g * _dropout_mask((tt * F2, L), rate, seed_val, interp) * (1.0 / (1.0 - rate))
     pooled = _pool_mxu(g, bm_ref[:], k, C, pool, lp, tt, F2, L)
     A = tt // pool[0]
     out_ref[0] = pooled.reshape(A, bm_ref.shape[0] // A, C).astype(out_ref.dtype)
@@ -208,13 +229,14 @@ def _fwd_kernel(seed_ref, y_ref, scale_ref, bias_ref, mean_ref, var_ref,
 
 
 def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep,
-                   seed_val, shape, train, lp):
+                   seed_val, shape, train, lp, interp=False):
     """Recompute forward pieces and the gradient into the BN output."""
     xn, lin, sig = _chain_fwd(y, scale, bias, mean, var, w, b, eps, lp)
     dh = dout_up
     if train and rate > 0.0:
-        pltpu.prng_seed(seed_val)
-        dh = dh * _dropout_mask(shape, rate) * (1.0 / keep)
+        if not interp:
+            pltpu.prng_seed(seed_val)
+        dh = dh * _dropout_mask(shape, rate, seed_val, interp) * (1.0 / keep)
     dlin = dh * sig
     dxn_gate = dh * lin * sig * (1.0 - sig)
     # contract over w's output axis directly (dlin @ wᵀ) — no materialized wᵀ
@@ -233,7 +255,7 @@ def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep,
 def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
                        var_ref, w_ref, b_ref, bm_ref,
                        dw_ref, db_ref, s1_ref, s2_ref, dyp_ref,
-                       *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp):
+                       *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp, interp=False):
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -246,7 +268,7 @@ def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
     xn, dlin, dxn = _recompute_dxn(
         y, dout_up, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:],
         w_ref[:], b_ref[:], eps, rate, 1.0 - rate, _seed_for(seed_ref, nt),
-        (tt * F2, L), train, lp,
+        (tt * F2, L), train, lp, interp,
     )
     inv = jax.lax.rsqrt(var_ref[:] + eps)
     xhat = (y - mean_ref[:]) * inv
@@ -346,7 +368,7 @@ def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, 
     pt, pf = pool
     kernel = functools.partial(
         _fwd_kernel, tt=tt, F2=F2, L=L, k=k, C=C, pool=pool, rate=rate, eps=eps,
-        nt=nt, train=train, lp=y.dtype == jnp.bfloat16,
+        nt=nt, train=train, lp=y.dtype == jnp.bfloat16, interp=bool(interpret),
     )
     args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
     bmt = jnp.asarray(_freq_matrix(tt, F2, pt, pf // k))  # freq-pool orientation
@@ -382,7 +404,7 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
     lp = y.dtype == jnp.bfloat16
     reduce_kernel = functools.partial(
         _bwd_reduce_kernel, tt=tt, F2=F2, L=L, k=k, C=C, pool=pool, rate=rate,
-        eps=eps, nt=nt, train=train, lp=lp,
+        eps=eps, nt=nt, train=train, lp=lp, interp=bool(interpret),
     )
     args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
     bm = jnp.asarray(_freq_matrix(tt, F2, pt, pf // k).T)  # freq-upsample orientation

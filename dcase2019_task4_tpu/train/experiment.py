@@ -69,16 +69,6 @@ class Experiment:
         self.synthetic_audio = synthetic_audio
         self.log = logger or get_logger()
         self.mesh = mesh
-        if mesh is not None and mesh.devices.size > 1 and cfg.model.fused_block is None:
-            # the fused Pallas block is single-device; under GSPMD data
-            # parallelism fall back to the XLA block path (auto only — an
-            # explicit fused_block=True is honored and will fail loudly)
-            import dataclasses
-
-            cfg = dataclasses.replace(
-                cfg, model=dataclasses.replace(cfg.model, fused_block=False)
-            )
-            self.cfg = cfg
         self.seed = seed
         self.classes = list(cfg.classes)
         ptr = cfg.model.pooling_time_ratio
@@ -179,18 +169,22 @@ class Experiment:
             ]
             batch_sizes = [bs // 4, bs // 2, bs // 4]
 
-        # data-parallel: tile the per-device layout across the mesh
-        global_sizes = [b * n_dev for b in batch_sizes]
+        # data-parallel: tile the per-device layout across the mesh,
+        # shard-major (each device's contiguous chunk is a full
+        # [weak | unlabeled | synthetic] sub-layout — the shard_map step
+        # applies the PER-DEVICE loss slices to its local chunk)
         self.pipeline = BatchPipeline(
             streams,
-            global_sizes,
+            batch_sizes,
             cfg.dsp.max_samples,
             cfg.dsp.n_window,
             cfg.dsp.hop_length,
             cfg.dsp.max_frames,
             seed=self.seed,
+            n_shards=n_dev,
         )
-        # loss masks = static slices of the stream layout (main.py:238-247)
+        # loss masks = static per-shard slices of the stream layout
+        # (main.py:238-247)
         slices = self.pipeline.stream_slices()
         names = [s.name for s in streams]
         self.weak_slice = slices[names.index("weak")] if "weak" in names else None
@@ -267,6 +261,7 @@ class Experiment:
             scaler_std=std,
             noise_std=t.noise_std if self.mean_teacher else 0.0,
             spec_augment_cfg=sa_cfg,
+            mesh=self.mesh,
         )
         self.eval_features = make_eval_features(self.frontend, mean, std)
         self.predict_step = make_predict_step(self.model)

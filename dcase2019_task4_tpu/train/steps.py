@@ -79,6 +79,8 @@ def make_train_step(
     noise_std: float = 0.25,
     spec_augment_cfg: Optional[Dict] = None,
     donate: bool = True,
+    mesh=None,
+    axis_name: str = "data",
 ):
     """Build the jitted step.
 
@@ -92,11 +94,24 @@ def make_train_step(
         Mean-Teacher parity — without it the teacher sees clean features),
         "target"}
 
+    With `mesh`, the step runs SPMD over the mesh's `axis_name` axis via
+    jax.shard_map: each device computes the per-shard losses on its local
+    contiguous chunk of the batch (so the batch must be laid out shard-major —
+    per-device [weak | unlabeled | synthetic] sub-layouts, see
+    parallel.mesh.interleave_for_sharding — and `weak_slice`/`strong_slice`
+    are PER-DEVICE slices), BatchNorm batch statistics are psum'd across
+    shards, gradients are pmean'd, and params/EMA/optimizer state stay
+    replicated. Unlike plain GSPMD jit, shard_map keeps the fused Pallas
+    kernels (ops/fused_block.py, ops/packed_conv.py, ops/fused_mel.py)
+    usable: each shard invokes them on its local batch.
+
     Returns step_fn(state, batch, rng) → (state, metrics dict of scalars).
     """
     if scaler_mean is not None:
         scaler_mean = jnp.asarray(scaler_mean, jnp.float32)
         scaler_std = jnp.asarray(scaler_std, jnp.float32)
+    axis = axis_name if mesh is not None else None
+    axis_size = int(mesh.devices.size) if mesh is not None else 1
 
     def featurize(batch, rng):
         if frontend is None:
@@ -119,6 +134,9 @@ def make_train_step(
         return student, teacher
 
     def step_fn(state: TrainState, batch: Dict, rng):
+        if axis is not None:
+            # per-shard randomness (teacher noise, dropout, SpecAugment)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         rng_feat, rng_sa, rng_student, rng_teacher = jax.random.split(rng, 4)
         student_x, teacher_x = featurize(batch, rng_feat)
         if spec_augment_cfg:
@@ -130,7 +148,8 @@ def make_train_step(
 
         if mean_teacher:
             strong_t, weak_t, ema_bn_state = model.apply(
-                state.ema_params, state.ema_bn_state, teacher_x, train=True, rng=rng_teacher
+                state.ema_params, state.ema_bn_state, teacher_x, train=True,
+                rng=rng_teacher, batch_axis=axis, axis_size=axis_size,
             )
             strong_t = jax.lax.stop_gradient(strong_t)
             weak_t = jax.lax.stop_gradient(weak_t)
@@ -141,7 +160,8 @@ def make_train_step(
 
         def loss_fn(params):
             strong_s, weak_s, bn_state = model.apply(
-                params, state.bn_state, student_x, train=True, rng=rng_student
+                params, state.bn_state, student_x, train=True, rng=rng_student,
+                batch_axis=axis, axis_size=axis_size,
             )
             loss = jnp.float32(0.0)
             m = {}
@@ -165,6 +185,10 @@ def make_train_step(
 
         grads, (bn_state, m) = jax.grad(loss_fn, has_aux=True)(state.params)
         metrics.update(m)
+        if axis is not None:
+            # mean of per-shard gradients == gradient of the global-batch
+            # mean loss (equal per-shard row counts per stream)
+            grads = jax.lax.pmean(grads, axis)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -183,9 +207,26 @@ def make_train_step(
         new_state = TrainState(
             params, bn_state, ema_params, ema_bn_state, opt_state, state.step + 1
         )
+        if axis is not None:
+            metrics = jax.lax.pmean(metrics, axis)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        step_fn = jax.shard_map(
+            step_fn,
+            mesh=mesh,
+            # pytree-prefix specs: state + rng replicated, every batch leaf
+            # sharded on its leading axis
+            in_specs=(P(), P(axis_name), P()),
+            out_specs=(P(), P()),
+            # the Pallas kernels don't propagate varying-mesh-axis metadata;
+            # replication of the outputs is by construction (pmean'd grads →
+            # identical updates on every shard, psum'd BN stats)
+            check_vma=False,
+        )
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 

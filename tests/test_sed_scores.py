@@ -54,12 +54,73 @@ def test_one_to_one_matching():
 
 
 def test_bipartite_matching_optimal():
-    # greedy on ref order could match ref0→est0 and leave ref1 unmatched;
-    # optimal matching pairs ref0→est1, ref1→est0 (both tp)
+    # both pairings are achievable here, so greedy and bipartite agree (tp=2)
     ref = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 1.1, 2.1, "Dog")])
     est = _df([("a.wav", 1.1, 2.1, "Dog"), ("a.wav", 0.95, 1.95, "Dog")])
+    assert event_based_metrics(ref, est).counts["Dog"].tp == 2
+    assert event_based_metrics(ref, est, matching="bipartite").counts["Dog"].tp == 2
+
+
+def test_greedy_differs_from_bipartite_adversarial():
+    """Adversarial case where sed_eval's greedy first-fit pairing is
+    sub-optimal: ref0 hits both system events and greedily takes est0 (row
+    order), stranding ref1 (which only hits est0). The official sed_eval
+    number is tp=1 — the default must reproduce IT, not the optimum."""
+    ref = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 1.25, 2.25, "Dog")])
+    est = _df([("a.wav", 1.1, 2.1, "Dog"), ("a.wav", 0.85, 1.85, "Dog")])
+    greedy = event_based_metrics(ref, est)  # default = sed_eval-exact
+    assert greedy.counts["Dog"].tp == 1
+    optimal = event_based_metrics(ref, est, matching="bipartite")
+    assert optimal.counts["Dog"].tp == 2
+
+
+def test_greedy_first_fit_order_sensitivity():
+    """Greedy matches in estimated-list ROW order, not best-fit: est0 is a
+    worse time match than est1 for ref0 but comes first, so it wins."""
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    est = _df([("a.wav", 1.15, 2.15, "Dog"), ("a.wav", 1.0, 2.0, "Dog")])
     m = event_based_metrics(ref, est)
-    assert m.counts["Dog"].tp == 2
+    cc = m.counts["Dog"]
+    assert cc.tp == 1 and cc.n_sys == 2  # P=0.5, R=1
+
+
+def test_event_error_rate_substitution():
+    # time-matched but label-mismatched pair = one substitution: ER = 1/N,
+    # with D = I = 0 (sed_eval's event-based error-rate decomposition)
+    ref = _df([("a.wav", 1.0, 2.0, "Dog")])
+    est = _df([("a.wav", 1.0, 2.0, "Cat")])
+    ov = event_based_metrics(ref, est).results_overall_metrics()
+    er = ov["error_rate"]
+    np.testing.assert_allclose(er["substitution_rate"], 1.0)
+    np.testing.assert_allclose(er["deletion_rate"], 0.0)
+    np.testing.assert_allclose(er["insertion_rate"], 0.0)
+    np.testing.assert_allclose(er["error_rate"], 1.0)
+
+
+def test_event_error_rate_deletion_insertion():
+    # one matched Dog, one missed Dog (deletion), one spurious far-away Cat
+    # (insertion, no time overlap → not a substitution)
+    ref = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 5.0, 6.0, "Dog")])
+    est = _df([("a.wav", 1.0, 2.0, "Dog"), ("a.wav", 8.0, 9.0, "Cat")])
+    ov = event_based_metrics(ref, est).results_overall_metrics()
+    er = ov["error_rate"]
+    np.testing.assert_allclose(er["substitution_rate"], 0.0)
+    np.testing.assert_allclose(er["deletion_rate"], 0.5)  # 1 of N=2
+    np.testing.assert_allclose(er["insertion_rate"], 0.5)
+    np.testing.assert_allclose(er["error_rate"], 1.0)
+
+
+def test_segment_error_rate_decomposition():
+    # segments 0,1 tp; segment 2: ref Dog active, est Cat active → S=1;
+    # segment 3: est-only Cat → I=1. N = 3 active ref segments.
+    ref = _df([("a.wav", 0.0, 3.0, "Dog")])
+    est = _df([("a.wav", 0.0, 2.0, "Dog"), ("a.wav", 2.0, 4.0, "Cat")])
+    ov = segment_based_metrics(ref, est, 1.0).results_overall_metrics()
+    er = ov["error_rate"]
+    np.testing.assert_allclose(er["substitution_rate"], 1 / 3)
+    np.testing.assert_allclose(er["deletion_rate"], 0.0)
+    np.testing.assert_allclose(er["insertion_rate"], 1 / 3)
+    np.testing.assert_allclose(er["error_rate"], 2 / 3)
 
 
 def test_wrong_class_no_match():
