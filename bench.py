@@ -200,6 +200,7 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
         })
 
     rng = jax.random.PRNGKey(0)
+    acc = step.zero_metrics()
     if feed_through_host:
         n_steps = 10  # the tunnel is slow; a few steps suffice for a rate
 
@@ -209,12 +210,12 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
 
         for b in device_prefetch(feed(2), 4):
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, b, sub)
+            state, metrics, acc = step(state, b, sub, acc)
         _ = float(metrics["loss"])
         t0 = time.time()
         for b in device_prefetch(feed(n_steps), 4):
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, b, sub)
+            state, metrics, acc = step(state, b, sub, acc)
         _ = float(metrics["loss"])
         dt = time.time() - t0
         return batch * n_steps / dt
@@ -224,7 +225,7 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
         dev_batches = [_jax.device_put(b) for b in host_batches]
         for i in range(WARMUP):
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, dev_batches[i % 4], sub)
+            state, metrics, acc = step(state, dev_batches[i % 4], sub, acc)
         _ = float(metrics["loss"])
         # 3 measurement windows, best taken: transient tunnel-RPC stalls
         # only ever subtract from the chip's steady-state rate
@@ -233,7 +234,7 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
             t0 = time.time()
             for i in range(N_STEPS):
                 rng, sub = jax.random.split(rng)
-                state, metrics = step(state, dev_batches[i % 4], sub)
+                state, metrics, acc = step(state, dev_batches[i % 4], sub, acc)
             _ = float(metrics["loss"])
             rates.append(batch * N_STEPS / (time.time() - t0))
         assert np.isfinite(float(metrics["loss"]))

@@ -290,18 +290,24 @@ class Experiment:
             from dcase2019_task4_tpu.parallel.mesh import batch_sharding
 
             sharding = batch_sharding(self.mesh)
+        acc = self.train_step.zero_metrics()
         host_iter = self.pipeline.iter_epoch(epoch, prefetch=self.cfg.train.num_prefetch)
         for batch in device_prefetch(host_iter, self.cfg.train.num_prefetch, sharding):
             rng, sub = jax.random.split(rng)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            self.state, metrics, acc = self.train_step(self.state, batch, sub, acc)
             n += 1
             if n == 1 or n % 20 == 0 or n == len(self.pipeline):
-                # host sync for the sanity asserts, amortized
+                # host sync for the sanity asserts (main.py:147-148), amortized
                 loss = float(metrics["loss"])
                 assert not (np.isnan(loss) or loss > 1e5), f"Loss explosion: {loss}"
                 assert loss >= 0, "Loss problem, cannot be negative"
-                for k, v in metrics.items():
-                    meters.update(k, float(v))
+        # exact per-batch epoch means from the on-device metric sums — one
+        # fetch per epoch, matching the reference's AverageMeterSet over
+        # every batch (main.py:106-150)
+        if n:
+            sums = jax.device_get(acc)
+            for k in self.train_step.metric_keys:
+                meters.update(k, float(sums[k]) / n, n)
         self.log.info(f"Epoch: {epoch}\tTime {time.time() - start:.2f}\t{meters}")
         return meters
 

@@ -64,6 +64,24 @@ def ema_update(params, ema_params, step, alpha_max: float = 0.999):
     return jax.tree.map(lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params)
 
 
+class TrainStep:
+    """Callable wrapper over the jitted step exposing the metric-sum
+    accumulator contract: `step(state, batch, rng, acc)` → (state, metrics,
+    acc + metrics), with `acc` built by `zero_metrics()`. The accumulator
+    lives on device; fetch it once per epoch and divide by the step count
+    for exact per-batch means (replaces host-side per-step metric RTTs)."""
+
+    def __init__(self, fn, metric_keys):
+        self._fn = fn
+        self.metric_keys = tuple(metric_keys)
+
+    def zero_metrics(self) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.float32(0.0) for k in self.metric_keys}
+
+    def __call__(self, state, batch, rng, acc):
+        return self._fn(state, batch, rng, acc)
+
+
 def make_train_step(
     model,
     optimizer,
@@ -105,13 +123,31 @@ def make_train_step(
     kernels (ops/fused_block.py, ops/packed_conv.py, ops/fused_mel.py)
     usable: each shard invokes them on its local batch.
 
-    Returns step_fn(state, batch, rng) → (state, metrics dict of scalars).
+    Returns a TrainStep: step(state, batch, rng, acc) → (state, metrics,
+    acc') where `acc` is an on-device metric-sum dict (step.zero_metrics())
+    and acc' = acc + metrics. Carrying the sums on device restores the
+    reference's true per-batch epoch means (main.py:106-150) with a single
+    device→host fetch per epoch instead of per-step scalar RTTs.
     """
     if scaler_mean is not None:
         scaler_mean = jnp.asarray(scaler_mean, jnp.float32)
         scaler_std = jnp.asarray(scaler_std, jnp.float32)
     axis = axis_name if mesh is not None else None
     axis_size = int(mesh.devices.size) if mesh is not None else 1
+
+    # static metric-key set (must mirror step_fn's metrics dict exactly —
+    # the accumulator pytree is zipped against it)
+    metric_keys = ["loss"]
+    if weak_slice is not None:
+        metric_keys.append("weak_class_loss")
+    if strong_slice is not None:
+        metric_keys.append("strong_class_loss")
+    if mean_teacher:
+        metric_keys += ["consistency_strong", "consistency_weak", "consistency_weight"]
+        if weak_slice is not None:
+            metric_keys.append("weak_ema_class_loss")
+        if strong_slice is not None:
+            metric_keys.append("strong_ema_class_loss")
 
     def featurize(batch, rng):
         if frontend is None:
@@ -133,7 +169,7 @@ def make_train_step(
             teacher = (teacher - scaler_mean) / scaler_std
         return student, teacher
 
-    def step_fn(state: TrainState, batch: Dict, rng):
+    def step_fn(state: TrainState, batch: Dict, rng, acc: Dict):
         if axis is not None:
             # per-shard randomness (teacher noise, dropout, SpecAugment)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
@@ -209,25 +245,26 @@ def make_train_step(
         )
         if axis is not None:
             metrics = jax.lax.pmean(metrics, axis)
-        return new_state, metrics
+        new_acc = jax.tree.map(jnp.add, acc, metrics)
+        return new_state, metrics, new_acc
 
-    donate_argnums = (0,) if donate else ()
+    donate_argnums = (0, 3) if donate else ()
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
         step_fn = jax.shard_map(
             step_fn,
             mesh=mesh,
-            # pytree-prefix specs: state + rng replicated, every batch leaf
-            # sharded on its leading axis
-            in_specs=(P(), P(axis_name), P()),
-            out_specs=(P(), P()),
+            # pytree-prefix specs: state + rng + metric sums replicated,
+            # every batch leaf sharded on its leading axis
+            in_specs=(P(), P(axis_name), P(), P()),
+            out_specs=(P(), P(), P()),
             # the Pallas kernels don't propagate varying-mesh-axis metadata;
             # replication of the outputs is by construction (pmean'd grads →
             # identical updates on every shard, psum'd BN stats)
             check_vma=False,
         )
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    return TrainStep(jax.jit(step_fn, donate_argnums=donate_argnums), metric_keys)
 
 
 def make_eval_features(frontend, scaler_mean=None, scaler_std=None):

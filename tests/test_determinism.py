@@ -33,7 +33,7 @@ def _run_two_steps(seed):
     key = jax.random.PRNGKey(seed)
     for _ in range(2):
         key, sub = jax.random.split(key)
-        state, m = step(state, batch, sub)
+        state, m, _ = step(state, batch, sub, step.zero_metrics())
         losses.append(float(m["loss"]))
     return losses
 

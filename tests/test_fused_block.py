@@ -78,6 +78,69 @@ def test_custom_vjp_matches_autodiff_no_dropout(inputs):
         )
 
 
+def test_dropout_interpret_deterministic_and_grad_consistent(inputs):
+    """CPU twin of the TPU dropout test: interpret mode swaps the hardware
+    PRNG for a stateless hash (fused_block._dropout_mask interp path), so the
+    dropout forward+backward runs in the default suite. The reference twin
+    can't see the in-kernel mask, so correctness is checked as determinism
+    per (seed, position), seed sensitivity, and custom-VJP agreement with
+    central finite differences through the same kernel (which requires the
+    recompute-based backward to regenerate the identical mask)."""
+    y, scale, bias, w, b, ct = inputs
+    seed, rate = 123, 0.5
+
+    def loss_pallas(args):
+        yy, sc, bi, ww, bb2 = args
+        m = jax.lax.stop_gradient(yy.mean(axis=(0, 1, 2)))
+        v = jax.lax.stop_gradient(yy.var(axis=(0, 1, 2)))
+        o = fused_bn_glu_dropout_pool(yy, sc, bi, m, v, ww, bb2, jnp.int32(seed),
+                                      rate, POOL, EPS, True, True)
+        return jnp.sum(o * ct)
+
+    args = (y, scale, bias, w, b)
+    # deterministic forward per (seed, position)
+    assert float(loss_pallas(args)) == float(loss_pallas(args))
+    # different seed → different mask → different loss
+    def loss_pallas_seed2(args):
+        yy, sc, bi, ww, bb2 = args
+        m = jax.lax.stop_gradient(yy.mean(axis=(0, 1, 2)))
+        v = jax.lax.stop_gradient(yy.var(axis=(0, 1, 2)))
+        o = fused_bn_glu_dropout_pool(yy, sc, bi, m, v, ww, bb2, jnp.int32(seed + 7),
+                                      rate, POOL, EPS, True, True)
+        return jnp.sum(o * ct)
+
+    assert float(loss_pallas(args)) != float(loss_pallas_seed2(args))
+    # custom-VJP vs numerical gradient through the SAME kernel (the
+    # recompute-based backward must regenerate the identical mask)
+    gp = jax.grad(loss_pallas)(args)
+    eps = 1e-3
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        dirs = [jnp.asarray(rng.standard_normal(a.shape).astype(np.float32)) for a in args]
+        pert_p = tuple(a + eps * d for a, d in zip(args, dirs))
+        pert_m = tuple(a - eps * d for a, d in zip(args, dirs))
+        fd = (float(loss_pallas(pert_p)) - float(loss_pallas(pert_m))) / (2 * eps)
+        an = sum(float(jnp.vdot(g, d)) for g, d in zip(gp, dirs))
+        np.testing.assert_allclose(fd, an, rtol=2e-2, atol=1e-3)
+
+
+def test_crnn_fused_matches_unfused_eval_interpret():
+    """CPU twin of the TPU fused-CRNN test via fused_interpret=True: the full
+    model's fused path (packed conv + fused block) equals the plain XLA path."""
+    from dcase2019_task4_tpu.config import ModelConfig
+    from dcase2019_task4_tpu.models.crnn import CRNN
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 96, 64)).astype(np.float32)
+    m_f = CRNN(ModelConfig(fused_block=True, fused_interpret=True))
+    m_u = CRNN(ModelConfig(fused_block=False))
+    params, state = m_f.init(jax.random.PRNGKey(0))
+    sf, wf, _ = m_f.apply(params, state, jnp.asarray(x), train=False)
+    su, wu, _ = m_u.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(su), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wf), np.asarray(wu), rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="dropout path needs the TPU PRNG")
 def test_dropout_deterministic_and_grad_consistent_tpu(inputs):
     from jax.experimental import pallas as pl

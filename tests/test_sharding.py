@@ -66,13 +66,13 @@ def test_sharded_step_matches_single_device(mean_teacher):
     rng = jax.random.PRNGKey(1)
 
     # single device
-    s1, m1 = step(state0, batch, rng)
+    s1, m1, _ = step(state0, batch, rng, step.zero_metrics())
 
     # sharded over the mesh
     mesh = make_mesh()
     state_r = replicate_state(state0, mesh)
     batch_r = shard_batch(batch, mesh)
-    s2, m2 = step(state_r, batch_r, rng)
+    s2, m2, _ = step(state_r, batch_r, rng, step.zero_metrics())
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     p1 = np.asarray(jax.flatten_util.ravel_pytree(s1.params)[0])

@@ -56,7 +56,7 @@ def mt_setup():
 
 def test_metrics_and_loss_composition(mt_setup):
     _, _, step, state = mt_setup
-    state2, m = step(state, _batch(), jax.random.PRNGKey(1))
+    state2, m, acc = step(state, _batch(), jax.random.PRNGKey(1), step.zero_metrics())
     total = (
         float(m["weak_class_loss"])
         + float(m["strong_class_loss"])
@@ -70,7 +70,7 @@ def test_metrics_and_loss_composition(mt_setup):
 def test_rampup_weight_schedule(mt_setup):
     # step 0: weight = 2·exp(−5) (sigmoid_rampup(0, L)), main.py:75-79,124
     _, _, step, state = mt_setup
-    _, m = step(state, _batch(), jax.random.PRNGKey(1))
+    _, m, _acc = step(state, _batch(), jax.random.PRNGKey(1), step.zero_metrics())
     np.testing.assert_allclose(float(m["consistency_weight"]), 2 * np.exp(-5.0), rtol=1e-5)
     assert float(sigmoid_rampup(jnp.float32(100), 100)) == pytest.approx(1.0)
 
@@ -95,8 +95,8 @@ def test_unlabeled_sentinel_never_in_class_loss():
     b1 = _batch()
     b2 = _batch()
     b2["target"][2:6] = -1e6
-    _, m1 = step(state, b1, jax.random.PRNGKey(1))
-    _, m2 = step(state, b2, jax.random.PRNGKey(1))
+    _, m1, _ = step(state, b1, jax.random.PRNGKey(1), step.zero_metrics())
+    _, m2, _ = step(state, b2, jax.random.PRNGKey(1), step.zero_metrics())
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
@@ -110,7 +110,7 @@ def test_supervised_step_learns():
     rng = jax.random.PRNGKey(2)
     for i in range(30):
         rng, sub = jax.random.split(rng)
-        state, m = step(state, batch, sub)
+        state, m, _ = step(state, batch, sub, step.zero_metrics())
         losses_seen.append(float(m["loss"]))
     assert losses_seen[-1] < losses_seen[0] * 0.7
 
@@ -127,7 +127,7 @@ def test_mean_teacher_ema_converges_to_student(mt_setup):
     )
     for _ in range(5):
         rng, sub = jax.random.split(rng)
-        state, _ = step(state, batch, sub)
+        state, _, _ = step(state, batch, sub, step.zero_metrics())
     d5 = float(
         jnp.linalg.norm(
             jax.flatten_util.ravel_pytree(state.params)[0]
@@ -135,6 +135,28 @@ def test_mean_teacher_ema_converges_to_student(mt_setup):
         )
     )
     assert d5 < d0 * 0.2  # alpha warmup pulls the teacher in quickly
+
+
+def test_metric_accumulator_equals_per_step_sums():
+    """The on-device accumulator (carried through the step, fetched once)
+    must equal summing each step's host-fetched metrics — the property the
+    per-epoch exact means in Experiment.train_epoch rely on."""
+    model = CRNN(TINY)
+    opt = optax.adam(1e-3)
+    step = make_train_step(model, opt, WEAK, STRONG, mean_teacher=True,
+                           rampup_length=100, donate=False)
+    state = init_train_state(model, opt, jax.random.PRNGKey(0), with_ema=True)
+    acc = step.zero_metrics()
+    host_sums = {k: 0.0 for k in step.metric_keys}
+    rng = jax.random.PRNGKey(4)
+    for i in range(4):
+        rng, sub = jax.random.split(rng)
+        state, m, acc = step(state, _batch(i), sub, acc)
+        for k in step.metric_keys:
+            host_sums[k] += float(m[k])
+    fetched = jax.device_get(acc)
+    for k in step.metric_keys:
+        np.testing.assert_allclose(float(fetched[k]), host_sums[k], rtol=1e-6, err_msg=k)
 
 
 def test_bce_matches_torch_bceloss():

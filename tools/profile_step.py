@@ -39,18 +39,19 @@ batchd = {
     "frames": jax.device_put(jnp.full((batch,), d.max_frames, jnp.int32)),
     "target": jax.device_put(jnp.zeros((batch, d.max_frames // 8, 10), jnp.float32)),
 }
-state, m = step(state, batchd, rng)
+acc = step.zero_metrics()
+state, m, acc = step(state, batchd, rng, acc)
 jax.block_until_ready(state)
 # timed
 t0 = time.perf_counter()
 for _ in range(20):
-    state, m = step(state, batchd, rng)
+    state, m, acc = step(state, batchd, rng, acc)
 print('ms/step:', (lambda _: (time.perf_counter() - t0) / 20 * 1e3)(float(m["loss"])))
 
 td = "/tmp/trace_step"
 with trace(td):
     for _ in range(5):
-        state, m = step(state, batchd, rng)
+        state, m, acc = step(state, batchd, rng, acc)
     float(m["loss"])
 ops = top_device_ops(td, top=400)
 tot = sum(ms for _, ms, _ in ops) / 5
