@@ -84,6 +84,140 @@ def test_import_preserves_unserialized_attention():
     np.testing.assert_array_equal(np.asarray(params2["dense_softmax"]["w"]), before)
 
 
+def _torch_testmodel_predictions(tm, ev, tsv, subpart, out_tsv, batch_size):
+    """Torch twin of the reference evaluation path (TestModel.py:25-62 →
+    get_predictions, evaluation_measures.py:203-231): forward → binarize
+    at 0.5 → scipy.ndimage.median_filter (median_window, 1) → per-class
+    contiguous-region decode (utils/utils.py:146-162) → frames→seconds via
+    ptr/(sr/hop) → TSV via to_csv(index=False, sep='\\t'). Consumes the SAME
+    on-device features as the evaluator (frontend parity vs librosa is
+    golden-tested separately in tests/test_mel.py)."""
+    import pandas as pd
+    import scipy.ndimage
+
+    from dcase2019_task4_tpu.data.pipeline import iter_eval_batches
+
+    d = ev.cfg.dsp
+    stream = ev._stream(tsv, subpart)
+    ptr = ev.meta["pooling_time_ratio"]
+    labels = ev.codec.labels
+    rows = []
+    weak_probs, weak_targets = [], []
+    for batch in iter_eval_batches(
+        stream, batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
+    ):
+        x = np.asarray(ev.eval_features(batch["audio"], batch["frames"]))
+        with torch.no_grad():
+            ts, tw = tm(torch.from_numpy(x[:, None]))
+        nv = batch["n_valid"]
+        probs = ts.numpy()[:nv]
+        weak_probs.append(tw.numpy()[:nv])
+        weak_targets.append(batch["target"][:nv])
+        for i in range(nv):
+            pred_strong = (probs[i] > 0.5).astype(np.float32)
+            pred_strong = scipy.ndimage.median_filter(
+                pred_strong, (ev.cfg.train.median_window, 1)
+            )
+            # ManyHotEncoder.decode_strong: class-major, contiguous regions
+            for ci, col in enumerate(pred_strong.T):
+                padded = np.concatenate(([0.0], col, [0.0]))
+                change = np.flatnonzero(np.diff(padded)).reshape(-1, 2)
+                for on, off in change:
+                    rows.append((labels[ci], float(on), float(off),
+                                 batch["filenames"][i]))
+    df = pd.DataFrame(rows, columns=["event_label", "onset", "offset", "filename"])
+    scale = ptr / (d.sample_rate / d.hop_length)
+    df["onset"] = df["onset"] * scale
+    df["offset"] = df["offset"] * scale
+    df.to_csv(out_tsv, index=False, sep="\t")
+    return df, np.concatenate(weak_probs), np.concatenate(weak_targets)
+
+
+def test_golden_e2e_reference_checkpoint_reproduction(tmp_path):
+    """The full TestModel.py:25-62 contract (VERDICT round-1 item 3): a
+    complete reference-format torch.save checkpoint evaluated through
+    `CheckpointEvaluator.from_torch_checkpoint` (our production path:
+    fused frontend → JAX CRNN → on-device decode → native scoring) must
+    produce a byte-identical prediction TSV and equal metrics to the torch
+    twin of the reference's evaluation pipeline run side by side."""
+    from dcase2019_task4_tpu.config import Config
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+    from dcase2019_task4_tpu.eval.sed_scores import compute_strong_metrics
+    from dcase2019_task4_tpu.eval.tagging import TaggingF1
+    from tests.test_crnn_parity import TorchCRNN
+
+    torch.manual_seed(7)
+    tm = TorchCRNN(CFG).eval()
+    with torch.no_grad():
+        # spread the strong-head logits away from 0.5 so the binarized
+        # grids are robust to the ~1e-5 torch-vs-XLA float differences,
+        # and give BN non-trivial running stats
+        tm.dense.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.7, 1.5)
+    classes = list(Config().classes)
+    state = {
+        "model": {
+            "name": "CRNN",
+            "kwargs": {"n_in_channel": 1, "nclass": 10, "attention": True,
+                       "n_RNN_cell": 64, "n_layers_RNN": 2, "activation": "glu",
+                       "dropout": 0.5, "kernel_size": [3, 3, 3], "padding": [1, 1, 1],
+                       "stride": [1, 1, 1], "nb_filters": [64, 64, 64],
+                       "pooling": [(2, 4), (2, 4), (2, 4)]},
+            "state_dict": _reference_layout_state_dict(tm),
+        },
+        "scaler": {"mean_": [0.0] * 64, "mean_of_square_": [1.0] * 64},
+        "many_hot_encoder": {"labels": classes, "n_frames": 108},
+        "pooling_time_ratio": 8,
+    }
+    p = str(tmp_path / "reference_ckpt")
+    torch.save(state, p)
+
+    tsv = "dataset_metadata/validation/validation.tsv"
+    subpart, bs = 8, 24
+    ev = CheckpointEvaluator.from_torch_checkpoint(p, synthetic_audio=True)
+    # the reference never serializes the attention head (CRNN.py:49-57);
+    # align it manually so the weak head is comparable too
+    ev.state.params["dense_softmax"] = {
+        "w": jnp.asarray(tm.dense_softmax.weight.detach().numpy().T),
+        "b": jnp.asarray(tm.dense_softmax.bias.detach().numpy()),
+    }
+    ours_tsv = str(tmp_path / "ours.tsv")
+    import dataclasses
+
+    ev.cfg = dataclasses.replace(
+        ev.cfg, train=dataclasses.replace(ev.cfg.train, batch_size=bs)
+    )
+    res = ev.test_model(tsv, subpart=subpart, save_predictions_fname=ours_tsv)
+
+    twin_tsv = str(tmp_path / "twin.tsv")
+    twin_df, twin_weak, twin_targets = _torch_testmodel_predictions(
+        tm, ev, tsv, subpart, twin_tsv, bs
+    )
+    assert len(twin_df), "degenerate fixture: twin produced no events"
+
+    # byte-identical prediction TSVs
+    with open(ours_tsv, "rb") as f1, open(twin_tsv, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    # equal metrics from both paths
+    import pandas as pd
+
+    ref_df = ev._stream(tsv, subpart).manifest.df
+    m_twin = compute_strong_metrics(twin_df, ref_df)
+    np.testing.assert_allclose(
+        res["event_macro_f1"],
+        m_twin.results_class_wise_average_metrics()["f_measure"]["f_measure"],
+    )
+    acc = TaggingF1(len(classes))
+    acc.update(twin_weak, twin_targets)
+    np.testing.assert_allclose(
+        res["weak_macro_f1"], float(np.mean(acc.per_class_f1())), atol=1e-6
+    )
+
+
 def test_checkpoint_evaluator_from_torch(tmp_path):
     """End-to-end: reference-format torch.save file → evaluator → metrics."""
     from tests.test_crnn_parity import TorchCRNN
