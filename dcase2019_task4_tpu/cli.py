@@ -8,7 +8,10 @@ Flag surfaces mirror the reference scripts:
 
 Extra flags (new capability): --epochs, --synthetic_audio (fabricated
 class-consistent audio when the DESED wavs are absent), --data_parallel
-(shard the batch over all visible devices).
+(shard the batch over all visible devices), --multihost (+
+--coordinator_address/--num_processes/--process_id: jax.distributed
+runtime; every host runs the same command and feeds only its shard of
+each global batch — parallel/multihost.py).
 """
 
 from __future__ import annotations
@@ -38,12 +41,33 @@ def _common_train_args(parser):
                         help="Checkpoint to resume training from (true resume — "
                         "new capability; the reference only re-evaluates).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="Bring up the jax multi-host runtime "
+                        "(jax.distributed.initialize) before building the "
+                        "mesh; implies --data_parallel. Every host runs this "
+                        "same command and feeds only its shard of each "
+                        "global batch (parallel/multihost.py).")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (multi-host).")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="Total host processes (multi-host).")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="This host's process index (multi-host).")
 
 
 def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=False):
     from dcase2019_task4_tpu.train.experiment import Experiment
 
     mesh = None
+    if getattr(args, "multihost", False):
+        from dcase2019_task4_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        args.data_parallel = True
     if args.data_parallel:
         from dcase2019_task4_tpu.parallel.mesh import make_mesh
 

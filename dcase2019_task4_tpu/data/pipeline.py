@@ -36,17 +36,21 @@ def quantize_audio_int16(audio: np.ndarray) -> np.ndarray:
     return np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
 
 
-def device_prefetch(batch_iter, depth: int = 2, sharding=None):
+def device_prefetch(batch_iter, depth: int = 2, sharding=None, put_fn=None):
     """Asynchronously jax.device_put `depth` batches ahead so host→device
     transfer overlaps device compute (the TPU analogue of the reference's
     DataLoader worker prefetch — which it configures but never enables,
     SURVEY.md §2.3 'num_workers defined but not passed'). With `sharding`,
-    batches land pre-sharded over the mesh."""
+    batches land pre-sharded over the mesh; `put_fn` overrides the transfer
+    entirely (multi-host: parallel.multihost.make_global_batch assembles
+    per-host shards into global arrays)."""
     import collections
 
     import jax
 
     def put(b):
+        if put_fn is not None:
+            return put_fn(b)
         return jax.device_put(b, sharding) if sharding is not None else jax.device_put(b)
 
     buf = collections.deque()
@@ -109,16 +113,31 @@ class BatchPipeline:
         max_frames: int,
         seed: int = 0,
         n_shards: int = 1,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         """`batch_sizes` are PER-SHARD sub-batch sizes; the global batch is
         that layout tiled `n_shards` times and reordered shard-major (each
         contiguous 1/n_shards chunk is a full [weak | unlabeled | synthetic]
         per-device layout) so a leading-axis sharding over the mesh gives
         every device the same stream mix and the shard-local loss slices from
-        `stream_slices()` line up (parallel.mesh.interleave_for_sharding)."""
+        `stream_slices()` line up (parallel.mesh.interleave_for_sharding).
+
+        Multi-host: with `process_count > 1`, every host runs the SAME
+        sampler (shared seed — zero coordination traffic) but `assemble`
+        materializes only this host's contiguous 1/process_count cut of the
+        shard-major global batch (parallel.multihost.host_shard_pairs);
+        the concatenation of all hosts' batches in process order is
+        bit-identical to the single-host global batch. `n_shards` stays the
+        GLOBAL device count."""
         self.streams = list(streams)
         self.per_shard_sizes = list(batch_sizes)
         self.n_shards = n_shards
+        self.process_index = process_index
+        self.process_count = process_count
+        assert n_shards % process_count == 0, (
+            f"global device count {n_shards} not divisible by {process_count} hosts"
+        )
         self.sampler = MultiStreamSampler(
             [len(s) for s in streams], [b * n_shards for b in batch_sizes], seed
         )
@@ -152,6 +171,10 @@ class BatchPipeline:
             from dcase2019_task4_tpu.parallel.mesh import interleave_for_sharding
 
             pairs = interleave_for_sharding(pairs, self.per_shard_sizes, self.n_shards)
+        if self.process_count > 1:
+            from dcase2019_task4_tpu.parallel.multihost import host_shard_pairs
+
+            pairs = host_shard_pairs(pairs, self.process_index, self.process_count)
         audio, frames = self._pack_audio(pairs)
         targets = np.stack([self.streams[s].targets[i] for s, i in pairs])
         return {"audio": audio, "frames": frames, "target": targets}

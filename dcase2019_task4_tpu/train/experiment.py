@@ -173,6 +173,11 @@ class Experiment:
         # shard-major (each device's contiguous chunk is a full
         # [weak | unlabeled | synthetic] sub-layout — the shard_map step
         # applies the PER-DEVICE loss slices to its local chunk)
+        # multi-host: every process runs this same build with the same seed;
+        # the pipeline assembles only this host's cut of the global batch
+        # (parallel/multihost.py). Single-process runs see (0, 1).
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
         self.pipeline = BatchPipeline(
             streams,
             batch_sizes,
@@ -182,6 +187,8 @@ class Experiment:
             cfg.dsp.max_frames,
             seed=self.seed,
             n_shards=n_dev,
+            process_index=self.process_index,
+            process_count=self.process_count if self.mesh is not None else 1,
         )
         # loss masks = static per-shard slices of the stream layout
         # (main.py:238-247)
@@ -285,14 +292,19 @@ class Experiment:
         rng = jax.random.PRNGKey(hash((self.seed, epoch)) % (2**31))
         start = time.time()
         n = 0
-        sharding = None
+        sharding, put_fn = None, None
         if self.mesh is not None:
             from dcase2019_task4_tpu.parallel.mesh import batch_sharding
 
             sharding = batch_sharding(self.mesh)
+            if self.process_count > 1:
+                # per-host shards → global jax.Arrays over the multi-host mesh
+                from dcase2019_task4_tpu.parallel.multihost import make_global_batch
+
+                put_fn = lambda b: make_global_batch(b, self.mesh)  # noqa: E731
         acc = self.train_step.zero_metrics()
         host_iter = self.pipeline.iter_epoch(epoch, prefetch=self.cfg.train.num_prefetch)
-        for batch in device_prefetch(host_iter, self.cfg.train.num_prefetch, sharding):
+        for batch in device_prefetch(host_iter, self.cfg.train.num_prefetch, sharding, put_fn):
             rng, sub = jax.random.split(rng)
             self.state, metrics, acc = self.train_step(self.state, batch, sub, acc)
             n += 1

@@ -76,3 +76,46 @@ def test_synth_clip_deterministic_and_class_dependent():
     np.testing.assert_array_equal(a1, a2)
     assert not np.allclose(a1, b)
     assert len(a1) == 8000
+
+
+def test_multihost_shards_reassemble_global_batch_bitwise():
+    """Two simulated hosts, each running its own BatchPipeline with the
+    shared seed, must together reproduce the single-host shard-major global
+    batch BIT-FOR-BIT when their shards are concatenated in process order —
+    the invariant the --multihost path relies on (every host samples
+    identically and materializes only its cut; parallel/multihost.py)."""
+    streams = [_stream(8), _stream(8)]
+    kw = dict(
+        max_samples=D.max_samples, n_fft=D.n_window, hop_length=D.hop_length,
+        max_frames=D.max_frames, seed=3, n_shards=4,
+    )
+    global_bp = BatchPipeline(streams, [2, 2], **kw)
+    host_bps = [
+        BatchPipeline(streams, [2, 2], process_index=p, process_count=2, **kw)
+        for p in range(2)
+    ]
+    for epoch in range(2):
+        g_iter = global_bp.iter_epoch(epoch, prefetch=0)
+        h_iters = [bp.iter_epoch(epoch, prefetch=0) for bp in host_bps]
+        for gb in g_iter:
+            hbs = [next(it) for it in h_iters]
+            for k in ("audio", "frames", "target"):
+                np.testing.assert_array_equal(
+                    np.concatenate([hb[k] for hb in hbs]), gb[k], err_msg=k
+                )
+        for it in h_iters:
+            try:
+                next(it)
+                raise AssertionError("host iterator longer than global")
+            except StopIteration:
+                pass
+
+
+def test_multihost_requires_divisible_devices():
+    import pytest
+
+    with pytest.raises(AssertionError):
+        BatchPipeline(
+            [_stream(4)], [2], D.max_samples, D.n_window, D.hop_length,
+            D.max_frames, n_shards=4, process_count=3,
+        )
