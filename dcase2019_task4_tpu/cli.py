@@ -41,6 +41,10 @@ def _common_train_args(parser):
                         help="Checkpoint to resume training from (true resume — "
                         "new capability; the reference only re-evaluates).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ramped_adam", action="store_true", default=False,
+                        help="Ramped Adam hyperparameter schedule "
+                        "(train/schedules.py — the reference's commented-out "
+                        "adjust_learning_rate recipe, main.py:32-42,81).")
     parser.add_argument("--multihost", action="store_true", default=False,
                         help="Bring up the jax multi-host runtime "
                         "(jax.distributed.initialize) before building the "
@@ -93,6 +97,7 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
         synthetic_audio=args.synthetic_audio,
         mesh=mesh,
         seed=args.seed,
+        ramped_adam=getattr(args, "ramped_adam", False),
     )
 
 
@@ -160,6 +165,12 @@ def evaluate(argv=None):
                         "(imported via train/torch_import.py).")
     parser.add_argument("--sets", type=str, nargs="*", default=None,
                         help="TSV paths; default: eval2018, validation, public eval")
+    parser.add_argument("--tune_thresholds", action="store_true", default=False,
+                        help="Grid-search per-class weak thresholds on each "
+                        "set and report the tuned tagging F1 "
+                        "(eval/thresholds.py; the reference accepts "
+                        "class_threshold binarization but ships no tuner, "
+                        "evaluation_measures.py:60-66).")
     args = parser.parse_args(argv)
     from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
 
@@ -175,7 +186,9 @@ def evaluate(argv=None):
     for i, tsv in enumerate(sets):
         save = args.save_predictions_fname if i == len(sets) - 1 else None
         results[tsv] = {
-            k: v for k, v in ev.test_model(tsv, args.subpart_data, save).items()
+            k: v for k, v in ev.test_model(
+                tsv, args.subpart_data, save, tune_thresholds=args.tune_thresholds
+            ).items()
             if k != "predictions"
         }
     return results

@@ -110,15 +110,20 @@ class CheckpointEvaluator:
         )
 
     def test_model(self, tsv_path: str, subpart: Optional[int] = None,
-                   save_predictions_fname: Optional[str] = None) -> Dict:
+                   save_predictions_fname: Optional[str] = None,
+                   tune_thresholds: bool = False) -> Dict:
         """Full evaluation of one TSV set (reference test_model,
-        TestModel.py:25-62): strong decode + event/segment metrics + weak F1."""
+        TestModel.py:25-62): strong decode + event/segment metrics + weak F1.
+        `tune_thresholds` additionally grid-searches per-class weak
+        thresholds on this set's probabilities (eval/thresholds.py) and
+        reports the tuned tagging F1."""
         import pandas as pd
 
         self.log.info(tsv_path)
         stream = self._stream(tsv_path, subpart)
         d = self.cfg.dsp
         dfs, acc = [], TaggingF1(len(self.codec.labels))
+        weak_probs, weak_targets = [], []
         params, bn = self.state.params, self.state.bn_state
         for batch in iter_eval_batches(
             stream, self.cfg.train.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
@@ -134,6 +139,9 @@ class CheckpointEvaluator:
                 )
             )
             acc.update(np.asarray(weak)[:nv], batch["target"][:nv])
+            if tune_thresholds:
+                weak_probs.append(np.asarray(weak)[:nv])
+                weak_targets.append(batch["target"][:nv])
         predictions = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
             columns=["event_label", "onset", "offset", "filename"]
         )
@@ -144,8 +152,21 @@ class CheckpointEvaluator:
         weak_f1 = acc.per_class_f1()
         self.log.info(f"Weak F1-score per class: {dict(zip(self.codec.labels, np.round(weak_f1*100,2)))}")
         self.log.info(f"Weak F1-score macro averaged: {np.mean(weak_f1):.4f}")
-        return {
+        out = {
             "event_macro_f1": event_metric.results_class_wise_average_metrics()["f_measure"]["f_measure"],
             "weak_macro_f1": float(np.mean(weak_f1)),
             "predictions": predictions,
         }
+        if tune_thresholds and weak_probs:
+            from dcase2019_task4_tpu.eval.thresholds import tune_weak_thresholds
+
+            th, tuned_f1 = tune_weak_thresholds(
+                np.concatenate(weak_probs), np.concatenate(weak_targets)
+            )
+            self.log.info(
+                f"Tuned per-class thresholds: {dict(zip(self.codec.labels, np.round(th, 2)))}"
+            )
+            self.log.info(f"Tuned weak F1 macro averaged: {np.mean(tuned_f1):.4f}")
+            out["tuned_thresholds"] = th.tolist()
+            out["tuned_weak_macro_f1"] = float(np.mean(tuned_f1))
+        return out

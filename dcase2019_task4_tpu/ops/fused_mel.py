@@ -20,9 +20,11 @@ HBM traffic becomes: audio once (85 MB int16) + bases once (resident
 across the sequential grid) + mel out (21 MB) — vs ~1 GB for the XLA
 chain. The MXU work is identical minus lane padding: n_bins = 1025 pads
 to 1152 lanes in XLA (+12 % wasted MXU columns); here the bases are
-trimmed to the 1024 bins the mel matrix actually reads (the Nyquist
-triangle weight is exactly 0 whenever f_max ≤ sr/2 — asserted at
-construction), a perfect 8×128 lanes.
+trimmed to the 1024 bins the mel matrix actually reads (the trim is
+tolerance-based in build_bases: bins are dropped only when their total
+mel weight is negligible, bounding the error by tol·|mag| — for the
+reference's f_max = sr/2 the Nyquist triangle weight is exactly 0 and
+the trim is lossless), a perfect 8×128 lanes.
 
 Numerics match the XLA chunked path bit-for-bit in spirit (same bf16/f32
 cast points, f32 accumulation via preferred_element_type) and to float

@@ -201,17 +201,35 @@ class MelFrontend:
         # magnitude tensors in HBM, ops/fused_mel.py), the XLA chunked path
         # elsewhere. pallas_interpret forces the kernel in interpret mode
         # (CPU correctness tests).
+        explicit_pallas = stft_mode == "pallas"
         if stft_mode == "auto":
             if pallas_interpret or jax.default_backend() == "tpu":
                 stft_mode = "pallas"
             else:
                 stft_mode = "chunked"
         if stft_mode == "pallas":
+            if explicit_pallas and not pallas_interpret and jax.default_backend() != "tpu":
+                # fail at construction, not at the first traced call with an
+                # opaque Mosaic lowering error
+                raise ValueError(
+                    'stft_mode="pallas" needs a TPU backend (or pallas_interpret=True); '
+                    f"current backend is {jax.default_backend()!r}"
+                )
             from dcase2019_task4_tpu.ops import fused_mel as _fm
 
             tt = _fm.pick_tile(max_frames, n_window, hop_length)
             if tt == 0:
-                stft_mode = "chunked"  # no legal frame tile for these params
+                # no legal frame tile for these params
+                if explicit_pallas:
+                    import warnings
+
+                    warnings.warn(
+                        f'explicit stft_mode="pallas" downgraded to "chunked": no legal '
+                        f"frame tile for max_frames={max_frames}, n_window={n_window}, "
+                        f"hop={hop_length}",
+                        stacklevel=2,
+                    )
+                stft_mode = "chunked"
             else:
                 self._fused_tt = tt
         self.stft_mode = stft_mode

@@ -17,6 +17,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -60,8 +61,10 @@ class Experiment:
         logger=None,
         mesh=None,
         seed: int = 0,
+        ramped_adam: bool = False,
     ):
         self.cfg = cfg
+        self.ramped_adam = ramped_adam
         self.mean_teacher = mean_teacher
         self.no_synthetic = no_synthetic
         self.no_weak = no_weak
@@ -223,15 +226,10 @@ class Experiment:
         for stream in self.pipeline.streams:
             for batch in iter_eval_batches(stream, B, d.max_samples, d.n_window, d.hop_length, d.max_frames):
                 nv = batch["n_valid"]
-                if nv < B:  # last batch repeats the tail clip; re-reduce on host
-                    from dcase2019_task4_tpu.train.steps import make_eval_features
-
-                    x = np.asarray(make_eval_features(self.frontend)(batch["audio"], batch["frames"]))[:nv]
-                    s = x.mean(axis=1).sum(axis=0)
-                    sq = (x**2).mean(axis=1).sum(axis=0)
-                else:
-                    s, sq = stats(batch["audio"], batch["frames"])
-                    s, sq = np.asarray(s, np.float64), np.asarray(sq, np.float64)
+                # one code path for full and tail batches: padded rows are
+                # masked on device by the traced n_valid scalar
+                s, sq = stats(batch["audio"], batch["frames"], jnp.int32(nv))
+                s, sq = np.asarray(s, np.float64), np.asarray(sq, np.float64)
                 total = s if total is None else total + s
                 total_sq = sq if total_sq is None else total_sq + sq
                 count += nv
@@ -242,9 +240,20 @@ class Experiment:
 
     def _build_steps(self):
         t = self.cfg.train
-        self.optimizer = optax.adam(t.lr, b1=t.beta1, b2=t.beta2, eps=t.adam_eps)
         # rampup_length = steps/epoch · n_epoch / 2 (main.py:72)
         rampup_length = len(self.pipeline) * t.n_epoch // 2
+        if self.ramped_adam:
+            # the reference's (commented-out) adjust_learning_rate recipe
+            # (main.py:32-42,81) as a per-step optax schedule — --ramped_adam
+            from dcase2019_task4_tpu.train.schedules import meanteacher_adam
+
+            total_steps = len(self.pipeline) * t.n_epoch
+            self.optimizer = meanteacher_adam(
+                total_steps, rampup_length, max_learning_rate=t.lr,
+            )
+            self.log.info("using ramped-Adam schedule (train/schedules.py)")
+        else:
+            self.optimizer = optax.adam(t.lr, b1=t.beta1, b2=t.beta2, eps=t.adam_eps)
         mean, std = self.scaler.mean_std_f32
         sa_cfg = None
         if t.spec_augment:
@@ -371,6 +380,23 @@ class Experiment:
         return acc.per_class_f1()
 
     def validate(self, epoch: int) -> Dict[str, float]:
+        if not self.mean_teacher:
+            # the supervised recipe also reports per-epoch TRAIN-set metrics
+            # (main_simple_CRNN.py:236-252): strong scoring on the training
+            # synthetic stream and weak tagging F1 on the training weak stream
+            names = [s.name for s in self.pipeline.streams]
+            if "synthetic" in names:
+                self.log.info("Training synthetic metric:")
+                train_stream = self.pipeline.streams[names.index("synthetic")]
+                train_predictions = self.predict_dataframe(train_stream)
+                compute_strong_metrics(train_predictions, train_stream.manifest.df, self.log)
+            if "weak" in names:
+                self.log.info("Training weak metric:")
+                weak_t = self.weak_f1(self.pipeline.streams[names.index("weak")])
+                self.log.info(
+                    f"Weak F1 per class: {dict(zip(self.classes, np.round(weak_t * 100, 2)))}"
+                )
+                self.log.info(f"Weak F1 macro averaged: {np.mean(weak_t):.4f}")
         self.log.info("### Valid synthetic metric ###")
         predictions = self.predict_dataframe(self.valid_synth_stream)
         event_metric = compute_strong_metrics(predictions, self.valid_synth_df, self.log)

@@ -285,17 +285,21 @@ def make_eval_features(frontend, scaler_mean=None, scaler_std=None):
 
 def make_scaler_stats(frontend):
     """Jitted per-batch moment reduction for scaler fitting: featurize and
-    reduce to (Σ per bin, Σ² per bin, clip count) on device — only two
-    [n_mels] vectors cross the device→host link per batch (the reference
-    iterates full features on the host, utils/Scaler.py:34-87)."""
+    reduce to (Σ per bin, Σ² per bin) on device — only two [n_mels] vectors
+    cross the device→host link per batch (the reference iterates full
+    features on the host, utils/Scaler.py:34-87). `n_valid` masks the
+    repeated-tail padding rows of the last batch ON DEVICE (a traced
+    scalar — one compilation covers every tail length), so full and tail
+    batches run the same code path."""
 
     @jax.jit
-    def stats(audio, frames):
+    def stats(audio, frames, n_valid):
         x = frontend.log_mel(dequantize_audio(audio), frames)
-        # per-clip mean over time, then summed over clips (equal clip weight)
+        mask = (jnp.arange(x.shape[0]) < n_valid)[:, None].astype(jnp.float32)
+        # per-clip mean over time, then summed over valid clips (equal clip weight)
         return (
-            jnp.sum(jnp.mean(x, axis=1), axis=0),
-            jnp.sum(jnp.mean(x * x, axis=1), axis=0),
+            jnp.sum(jnp.mean(x, axis=1) * mask, axis=0),
+            jnp.sum(jnp.mean(x * x, axis=1) * mask, axis=0),
         )
 
     return stats

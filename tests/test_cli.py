@@ -17,7 +17,8 @@ def _help(script):
 def test_train_meanteacher_flags():
     h = _help("train_meanteacher.py")
     for flag in ["--subpart_data", "--no_synthetic", "--epochs", "--synthetic_audio",
-                 "--data_parallel", "--bf16", "--scaled", "--resume", "--seed"]:
+                 "--data_parallel", "--bf16", "--scaled", "--resume", "--seed",
+                 "--ramped_adam", "--multihost", "--coordinator_address"]:
         assert flag in h, flag
 
 
@@ -30,7 +31,7 @@ def test_train_crnn_flags():
 def test_evaluate_flags():
     h = _help("evaluate.py")
     for flag in ["--model_path", "--subpart_data", "--save_predictions_fname",
-                 "--torch_checkpoint", "--sets"]:
+                 "--torch_checkpoint", "--sets", "--tune_thresholds"]:
         assert flag in h, flag
 
 

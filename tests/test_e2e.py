@@ -126,3 +126,58 @@ def test_resume_roundtrip(tmp_path, tiny_exp):
     # continuing from epoch+1 trains at least one more epoch
     res = tiny_exp.run(store_dir=store, n_epoch=2, resume_from=ck)
     assert "event_macro_f1" in res
+
+
+def test_ramped_adam_smoke():
+    """--ramped_adam: the scheduled optimizer (train/schedules.py) trains a
+    step end to end and the loss stays finite."""
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=12, synthetic_audio=True,
+        seed=1, ramped_adam=True,
+    )
+    exp.build()
+    meters = exp.train_epoch(0)
+    assert np.isfinite(meters.meters["loss"].avg)
+
+
+def test_simple_crnn_trainset_metrics_logged(caplog):
+    """main_simple_CRNN.py:236-252 parity: the supervised recipe reports
+    per-epoch TRAIN synthetic strong metrics and TRAIN weak tagging F1."""
+    import logging
+
+    exp = Experiment(
+        TINY_CFG, mean_teacher=False, subpart_data=10, synthetic_audio=True, seed=2
+    )
+    exp.build()
+    logger = exp.log
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture()
+    logger.addHandler(h)
+    try:
+        exp.validate(0)
+    finally:
+        logger.removeHandler(h)
+    joined = "\n".join(records)
+    assert "Training synthetic metric:" in joined
+    assert "Training weak metric:" in joined
+    assert "### Valid synthetic metric ###" in joined
+
+
+def test_evaluate_tune_thresholds(tmp_path, tiny_exp):
+    """evaluate --tune_thresholds: per-class grid search reported."""
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    path = str(tmp_path / "ckpt_tune")
+    ckpt.save_checkpoint(path, tiny_exp.state, tiny_exp.checkpoint_metadata(0, {}))
+    ev = CheckpointEvaluator(path, synthetic_audio=True)
+    res = ev.test_model(tiny_exp.cfg.paths.validation, subpart=6, tune_thresholds=True)
+    assert "tuned_thresholds" in res and len(res["tuned_thresholds"]) == 10
+    assert 0.0 <= res["tuned_weak_macro_f1"] <= 1.0
+    # tuned per-class F1 can never be worse than the fixed-0.5 threshold F1
+    assert res["tuned_weak_macro_f1"] >= res["weak_macro_f1"] - 1e-9

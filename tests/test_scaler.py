@@ -58,3 +58,27 @@ def test_state_dict_json_roundtrip(tmp_path):
     np.testing.assert_allclose(s2.mean_, s.mean_)
     np.testing.assert_allclose(s2.std_, s.std_)
     assert set(s.state_dict()) == {"mean_", "mean_of_square_"}
+
+
+def test_device_scaler_stats_tail_mask():
+    """make_scaler_stats masks the repeated-tail padding rows on device: a
+    padded batch with n_valid=k must reduce exactly like the first k rows
+    alone (the single code path replacing the old host tail recompute)."""
+    import jax.numpy as jnp
+
+    from dcase2019_task4_tpu.ops.mel import MelFrontend, host_reflect_pad
+    from dcase2019_task4_tpu.train.steps import make_scaler_stats
+
+    sr, n_fft, hop, n_mels, max_frames = 8000, 256, 200, 16, 40
+    fe = MelFrontend(sample_rate=sr, n_window=n_fft, hop_length=hop,
+                     n_mels=n_mels, f_min=0, f_max=sr // 2, max_frames=max_frames)
+    stats = make_scaler_stats(fe)
+    rng = np.random.default_rng(0)
+    clips = [rng.standard_normal(sr).astype(np.float32) * 0.1 for _ in range(3)]
+    max_samples = sr
+    padded, frames = host_reflect_pad(clips + [clips[-1]], max_samples, n_fft, hop, max_frames)
+    s_masked, sq_masked = stats(jnp.asarray(padded), jnp.asarray(frames), jnp.int32(3))
+    padded3, frames3 = host_reflect_pad(clips, max_samples, n_fft, hop, max_frames)
+    s_full, sq_full = stats(jnp.asarray(padded3), jnp.asarray(frames3), jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(s_masked), np.asarray(s_full), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sq_masked), np.asarray(sq_full), rtol=1e-6)
