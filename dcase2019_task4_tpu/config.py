@@ -136,6 +136,13 @@ class ModelConfig:
     # run the fused Pallas kernels in interpret mode (CPU tests / dryruns);
     # auto-enables the fused path off-TPU
     fused_interpret: bool = False
+    # entry conv via the fused Pallas im2col kernel (ops/entry_conv.py)
+    # instead of the XLA strided-slice im2col (models/layers.py
+    # conv2d_entry_packed). Off by default: measured ≈the same step time as
+    # the XLA path on v5e (the kernel wins on HBM traffic but pays it back
+    # in VPU patch-stack time); kept as the building block for the merged
+    # entry-conv+block-1 kernel. Tested in tests/test_entry_conv.py.
+    entry_conv_pallas: bool = False
 
     @property
     def pooling_time_ratio(self) -> int:

@@ -98,6 +98,7 @@ class CRNN:
                 jax.default_backend() == "tpu" or interpret
             ) and cfg.activation == "glu"
         new_state: Dict = {"cnn": []}
+        entry_stats = None
         for i, block in enumerate(params["cnn"]):
             if (
                 i == 0
@@ -106,13 +107,45 @@ class CRNN:
                 and cfg.stride[0] == 1
                 and cfg.padding[0] == 1
             ):
-                # entry conv as a packed im2col matmul: writes the lane-packed
-                # row-major layout the fused blocks read, eliminating XLA's
-                # batch-minor conv layout and ~9 ms/step of copies (B=96, v5e).
-                # (conv2d_entry_rowmat is NOT used here: its [B,T,F·C] output
-                # is t-sublane-tiled while the fused blocks read f-sublane
-                # tiles — the forced relayout costs more than it saves.)
-                x = L.conv2d_entry_packed(block["conv"], x.astype(compute_dtype))
+                # entry conv in the lane-packed layout. Default: the XLA
+                # strided-slice im2col (conv2d_entry_packed), which avoids
+                # XLA's batch-minor conv layout copies. Opt-in
+                # (cfg.entry_conv_pallas): the fused Pallas im2col kernel
+                # (ops/entry_conv.py) — the patch tensor never leaves VMEM
+                # and the BN batch-stat sums ride out of the forward for
+                # free, but its in-VMEM patch stack costs what the HBM
+                # savings buy back (measured ≈parity on v5e).
+                # (conv2d_entry_rowmat is NOT used here: its [B,T,F·C]
+                # output is t-sublane-tiled while the fused blocks read
+                # f-sublane tiles — the forced relayout costs more than it
+                # saves.)
+                from dcase2019_task4_tpu.ops.entry_conv import (
+                    entry_conv_apply,
+                    entry_conv_packable,
+                )
+
+                C0 = block["conv"]["w"].shape[-1]
+                if (
+                    use_fused
+                    and cfg.entry_conv_pallas
+                    and entry_conv_packable(x.shape[2], C0, x.shape[1])
+                ):
+                    want_stats = train and _fused_block_applicable(
+                        (x.shape[0], x.shape[1], x.shape[2], C0), tuple(cfg.pooling[0])
+                    )
+                    if want_stats:
+                        x, s1, s2 = entry_conv_apply(
+                            block["conv"], x, compute_dtype=compute_dtype,
+                            interpret=interpret, want_stats=True,
+                        )
+                        entry_stats = (s1, s2)
+                    else:
+                        x = entry_conv_apply(
+                            block["conv"], x, compute_dtype=compute_dtype,
+                            interpret=interpret,
+                        )
+                else:
+                    x = L.conv2d_entry_packed(block["conv"], x.astype(compute_dtype))
             elif (
                 use_fused
                 and cfg.kernel_size[i] == 3
@@ -143,6 +176,7 @@ class CRNN:
                 x, bn_s = self._fused_block(
                     block, state["cnn"][i], x, i, seed, train,
                     batch_axis=batch_axis, axis_size=axis_size, interpret=interpret,
+                    stats=entry_stats if i == 0 else None,
                 )
                 new_state["cnn"].append(bn_s)
                 continue
@@ -219,12 +253,15 @@ class CRNN:
         return out.astype(jnp.dtype(cfg.compute_dtype)), new_bn
 
     def _fused_block(self, block, bn_state, y, i, seed, train,
-                     batch_axis=None, axis_size: int = 1, interpret: bool = False):
+                     batch_axis=None, axis_size: int = 1, interpret: bool = False,
+                     stats=None):
         """Post-conv chain via the fused Pallas kernel (ops/fused_block.py):
         one HBM pass instead of XLA's several. BN statistics and the
         running-stat update follow layers.batchnorm_apply exactly; under a
         shard_map data axis the Σx/Σx² reductions psum across shards so the
-        statistics are those of the GLOBAL batch."""
+        statistics are those of the GLOBAL batch. `stats` = precomputed
+        (Σ, Σ²) per channel (the fused entry-conv kernel emits them for
+        free, ops/entry_conv.py) — skips the XLA reduction over y."""
         from dcase2019_task4_tpu.ops.fused_block import fused_bn_glu_dropout_pool
 
         cfg = self.cfg
@@ -237,9 +274,12 @@ class CRNN:
             # stop_gradient: the fused kernel's custom VJP carries the full
             # BN through-statistics backward, so the stats themselves must
             # not be differentiated.
-            ys = jax.lax.stop_gradient(y)
-            s = jnp.sum(ys, axis=(0, 1, 2), dtype=jnp.float32)
-            sq = jnp.sum(ys.astype(jnp.float32) ** 2, axis=(0, 1, 2))
+            if stats is not None:
+                s, sq = stats
+            else:
+                ys = jax.lax.stop_gradient(y)
+                s = jnp.sum(ys, axis=(0, 1, 2), dtype=jnp.float32)
+                sq = jnp.sum(ys.astype(jnp.float32) ** 2, axis=(0, 1, 2))
             n = y.size // y.shape[-1]
             if batch_axis is not None:
                 s = jax.lax.psum(s, batch_axis)

@@ -29,7 +29,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax  # noqa: E402
 
 if os.environ.get("DCASE_TPU_TESTS") != "1":
-    # default: hermetic 8-virtual-device CPU suite
+    # default: hermetic 8-virtual-device CPU suite. jax_platforms="cpu"
+    # (not just jax_platform_name) so jax NEVER initializes the axon
+    # plugin: register() pre-set jax_platforms="axon,cpu" at interpreter
+    # start, and initializing axon dials the tunnel — when the tunnel is
+    # down, backend init (and with it test collection) hangs forever.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_platform_name", "cpu")
 # else: run on the real TPU (enables the TPU-gated pallas/dropout tests;
 # the 8-device sharding tests self-skip)
