@@ -143,6 +143,12 @@ class ModelConfig:
     # in VPU patch-stack time); kept as the building block for the merged
     # entry-conv+block-1 kernel. Tested in tests/test_entry_conv.py.
     entry_conv_pallas: bool = False
+    # whole FIRST block (conv→BN→GLU→dropout→pool) as one fused Pallas
+    # kernel (ops/fused_entry_block.py): the 680 MB entry-conv activation
+    # never exists in HBM in either direction. Opt-in while v5e step-time
+    # numbers are being gathered; falls back to the entry-conv + fused-block
+    # pair when the geometry doesn't apply.
+    entry_block_pallas: bool = False
 
     @property
     def pooling_time_ratio(self) -> int:

@@ -106,6 +106,31 @@ class CRNN:
                 and cfg.kernel_size[0] == 3
                 and cfg.stride[0] == 1
                 and cfg.padding[0] == 1
+                and use_fused
+                and cfg.entry_block_pallas
+                and block["conv"]["w"].shape[-1] * 2 == 128
+                and _entry_block_applicable(x.shape, tuple(cfg.pooling[0]))
+            ):
+                # whole first block (conv→BN→GLU→dropout→pool) as ONE fused
+                # Pallas kernel (ops/fused_entry_block.py): the 680 MB conv
+                # activation never exists in HBM in either direction.
+                if train:
+                    rng, sub = jax.random.split(rng)
+                    seed = jax.random.randint(sub, (), 0, 2**31 - 2**20, dtype=jnp.int32)
+                else:
+                    seed = jnp.int32(0)
+                x, bn_s = self._entry_block(
+                    block, state["cnn"][0], x, seed, train,
+                    batch_axis=batch_axis, axis_size=axis_size, interpret=interpret,
+                )
+                new_state["cnn"].append(bn_s)
+                continue
+            if (
+                i == 0
+                and x.shape[-1] == 1
+                and cfg.kernel_size[0] == 3
+                and cfg.stride[0] == 1
+                and cfg.padding[0] == 1
             ):
                 # entry conv in the lane-packed layout. Default: the XLA
                 # strided-slice im2col (conv2d_entry_packed), which avoids
@@ -304,8 +329,61 @@ class CRNN:
             y, block["bn"]["scale"], block["bn"]["bias"], mean, var,
             block["act"]["w"], block["act"]["b"], seed,
             rate, tuple(cfg.pooling[i]), cfg.bn_eps, train, interpret,
+            batch_axis, axis_size,
         )
         return out, new_bn
+
+    def _entry_block(self, block, bn_state, x, seed, train,
+                     batch_axis=None, axis_size: int = 1, interpret: bool = False):
+        """First block (conv→BN→GLU→dropout→pool) as one Pallas kernel
+        (ops/fused_entry_block.py). BN statistics come from the kernel's
+        stats pass over the conv output (never materialized); the
+        running-stat update and shard psum mirror _fused_block exactly."""
+        from dcase2019_task4_tpu.ops.fused_entry_block import (
+            entry_block_apply,
+            entry_block_stats_apply,
+        )
+
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        if train:
+            s, sq = entry_block_stats_apply(
+                block["conv"], x, compute_dtype=cd, interpret=interpret
+            )
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            if batch_axis is not None:
+                s = jax.lax.psum(s, batch_axis)
+                sq = jax.lax.psum(sq, batch_axis)
+                n = n * axis_size
+            mean = s / n
+            var = sq / n - mean * mean
+            unbiased = var * n / max(n - 1, 1)
+            m = cfg.bn_momentum
+            new_bn = {
+                "mean": (1 - m) * bn_state["mean"] + m * mean,
+                "var": (1 - m) * bn_state["var"] + m * unbiased,
+            }
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            rate = cfg.dropout
+        else:
+            mean, var = bn_state["mean"], bn_state["var"]
+            new_bn = bn_state
+            rate = 0.0
+        out = entry_block_apply(
+            block["conv"], block["bn"]["scale"], block["bn"]["bias"], mean, var,
+            block["act"]["w"], block["act"]["b"], x, seed,
+            rate, tuple(cfg.pooling[0]), cfg.bn_eps, train,
+            compute_dtype=cd, interpret=interpret,
+            batch_axis=batch_axis, axis_size=axis_size,
+        )
+        return out, new_bn
+
+
+def _entry_block_applicable(shape, pool) -> bool:
+    from dcase2019_task4_tpu.ops.fused_entry_block import entry_block_applicable
+
+    return entry_block_applicable(shape, pool)
 
 
 def _packed_conv_tileable(T: int) -> bool:

@@ -384,7 +384,7 @@ def _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, 
 
 
 def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps,
-                train, interpret=False):
+                train, interpret=False, batch_axis=None, axis_size: int = 1):
     B, T, F, C, k, F2, L, tt = _geom(y.shape, pool)
     grid, nt, in_specs, _ = _specs(tt, F2, L, pool, B, T, k, C)
     pt, pf = pool
@@ -427,12 +427,22 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
     # fold per-lane partial sums to per-channel totals, then precompute the
     # global through-statistics coefficients for the elementwise fixup pass:
     #   dy = dy_partial − a − (y − mean)·b,  a = inv·γ·S1/N,  b = inv²·γ·S2/N
+    # Under shard_map the forward normalized with the psum'd GLOBAL batch
+    # statistics, so the exact backward needs the GLOBAL Σdxn / Σdxn·x̂ and
+    # the global N here — psum across the batch axis. The returned
+    # dscale/dbias stay LOCAL sums (the training step pmeans parameter
+    # gradients, which reassembles the global sums).
     s1 = _fold_k(s1L, k, C)
     s2 = _fold_k(s2L, k, C)
+    s1g, s2g = s1, s2
     n_total = float(B * T * F)
+    if batch_axis is not None:
+        s1g = jax.lax.psum(s1, batch_axis)
+        s2g = jax.lax.psum(s2, batch_axis)
+        n_total = n_total * axis_size
     inv = jax.lax.rsqrt(var + eps)
-    a = _tile_k(inv * scale * s1 / n_total, k)
-    b2 = _tile_k(inv * inv * scale * s2 / n_total, k)
+    a = _tile_k(inv * scale * s1g / n_total, k)
+    b2 = _tile_k(inv * inv * scale * s2g / n_total, k)
 
     fixup_in = [
         big_spec,  # y
@@ -515,12 +525,12 @@ def batch_stats(y, pool_f: int = 4, interpret: bool = False):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14)
 )
 def fused_bn_glu_dropout_pool(
     y, scale, bias, mean, var, glu_w, glu_b, seed,
     rate: float, pool: Tuple[int, int], eps: float, train: bool,
-    interpret: bool = False,
+    interpret: bool = False, batch_axis=None, axis_size: int = 1,
 ):
     """Fused BN(batch stats)→GLU→dropout→avgpool with exact custom VJP.
 
@@ -529,21 +539,28 @@ def fused_bn_glu_dropout_pool(
     contains the full BN-training backward (including the through-statistics
     terms), so callers must pass mean/var as jax.lax.stop_gradient(stats) to
     avoid double-counting.
+
+    Under shard_map, pass (batch_axis, axis_size) and the psum'd GLOBAL
+    mean/var: the backward then psums Σdxn/Σdxn·x̂ across the batch axis so
+    the through-statistics correction is exact. dscale/dbias are returned
+    as LOCAL sums (the training step's gradient pmean reassembles them).
     """
     return _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps,
                        train, interpret)
 
 
-def _vjp_fwd(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, train, interpret):
+def _vjp_fwd(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, train,
+             interpret, batch_axis, axis_size):
     out = _fwd_pallas(y, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps,
                       train, interpret)
     return out, (y, scale, bias, mean, var, glu_w, glu_b, seed)
 
 
-def _vjp_bwd(rate, pool, eps, train, interpret, res, dout):
+def _vjp_bwd(rate, pool, eps, train, interpret, batch_axis, axis_size, res, dout):
     y, scale, bias, mean, var, glu_w, glu_b, seed = res
     dy, dscale, dbias, dw, db = _bwd_pallas(
-        y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, train, interpret
+        y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool, eps, train,
+        interpret, batch_axis, axis_size,
     )
     # mean/var are stop_gradient inputs: zero cotangents; seed: zero
     return (dy, dscale, dbias, jnp.zeros_like(mean), jnp.zeros_like(var), dw, db,

@@ -108,3 +108,52 @@ def test_make_global_batch_on_virtual_mesh():
     assert out["n"] == 3
     assert out["x"].shape == (16, 1)
     np.testing.assert_array_equal(np.asarray(out["x"]), local["x"])
+
+
+def test_fused_grads_sharded_match_single_device():
+    """EXACT parameter gradients through the fused Pallas kernel stack under
+    shard_map vs single device (not post-Adam params — Adam's first step
+    normalizes magnitudes and hides small gradient errors). Catches the BN
+    through-statistics backward using per-shard Σdxn/N instead of the psum'd
+    global sums. dropout=0: the per-tile mask seeds are shard-local by
+    design, so the stochastic paths are only distribution-equivalent."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    B = 16
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, 96, 64)).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+
+    for entry_block in (False, True):
+        cfg = ModelConfig(
+            fused_block=True, fused_interpret=True, dropout=0.0,
+            entry_block_pallas=entry_block,
+        )
+        model = CRNN(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        sh = model.apply(params, state, x, train=True, rng=key)[0].shape
+        cts = jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+        def loss(p, xb, cb, axis=None, axis_size=1):
+            s, _, _ = model.apply(p, state, xb, train=True, rng=key,
+                                  batch_axis=axis, axis_size=axis_size)
+            return jnp.mean(jnp.sum(s * cb, axis=(1, 2)))
+
+        g_single = jax.grad(loss)(params, x, cts)
+
+        def shard_fn(p, xb, cb):
+            g = jax.grad(lambda pp: loss(pp, xb, cb, "data", 8))(p)
+            return jax.lax.pmean(g, "data")
+
+        g_sharded = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")), out_specs=P(),
+            check_vma=False,
+        )(params, x, cts)
+
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=f"entry_block={entry_block}",
+            )
