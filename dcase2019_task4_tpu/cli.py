@@ -23,6 +23,26 @@ from dcase2019_task4_tpu.config import Config
 from dcase2019_task4_tpu.utils.logger import get_logger
 
 
+def _apply_platform_override():
+    """DCASE_PLATFORM=cpu routes every CLI onto real XLA:CPU (hermetic runs
+    when the axon TPU tunnel is down). The env var JAX_PLATFORMS cannot do
+    this here: the host pins it to the axon plugin, which also answers to
+    the platform name "cpu" (CLAUDE.md). Must run before jax initializes a
+    backend — cli.py imports jax lazily, so calling this at entry is safe."""
+    plat = os.environ.get("DCASE_PLATFORM")
+    if not plat:
+        return
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+
+    # jax_platforms (not just platform_name) so jax never INITIALIZES the
+    # axon plugin: register() pre-set jax_platforms="axon,cpu" at
+    # interpreter start, and initializing axon dials the tunnel — a dead
+    # tunnel then hangs backend init forever (same trick as tests/conftest).
+    jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_platform_name", plat)
+
+
 def _common_train_args(parser):
     parser.add_argument("-s", "--subpart_data", type=int, default=None,
                         help="Number of files per set (smoke-scale runs).")
@@ -102,6 +122,7 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
 
 
 def train_meanteacher(argv=None):
+    _apply_platform_override()
     parser = argparse.ArgumentParser(description="Mean-Teacher CRNN training (main.py parity)")
     _common_train_args(parser)
     parser.add_argument("-n", "--no_synthetic", action="store_true", default=False,
@@ -122,6 +143,7 @@ def train_meanteacher(argv=None):
 
 
 def train_crnn(argv=None):
+    _apply_platform_override()
     parser = argparse.ArgumentParser(description="Supervised CRNN training (main_simple_CRNN.py parity)")
     _common_train_args(parser)
     parser.add_argument("-n", "--no_weak", action="store_true", default=False,
@@ -154,6 +176,7 @@ def _final_test(exp, store, args):
 
 
 def evaluate(argv=None):
+    _apply_platform_override()
     parser = argparse.ArgumentParser(description="Checkpoint evaluation (TestModel.py parity)")
     parser.add_argument("-m", "--model_path", type=str, required=True,
                         help="Checkpoint to evaluate.")
@@ -197,6 +220,7 @@ def evaluate(argv=None):
 def precompute(argv=None):
     """Reference-style feature precompute to .npy (optional — the default
     training path featurizes on device every step)."""
+    _apply_platform_override()
     parser = argparse.ArgumentParser(description="Precompute log-mel features to .npy")
     parser.add_argument("--sets", type=str, nargs="*", default=None)
     parser.add_argument("-s", "--subpart_data", type=int, default=None)
