@@ -244,14 +244,42 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
     return batch * N_STEPS / dt
 
 
-def main():
-    device_kind = "unknown"
-    try:
+def _wait_for_device(total_s: float = 480.0, poll_s: float = 15.0) -> str:
+    """Initialize the jax backend with a watchdog. The axon TPU tunnel can
+    go unresponsive, and then jax.devices() blocks FOREVER inside the
+    plugin — a hung bench is worse than a failed one. Probe from a daemon
+    thread; retry until the deadline, then exit(1) with a clear message
+    (and NO bogus JSON line)."""
+    import threading
+
+    deadline = time.time() + total_s
+    result: list = []
+
+    def probe():
         import jax
 
-        device_kind = jax.devices()[0].device_kind
-    except Exception:
-        pass
+        result.append(jax.devices()[0].device_kind)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    while time.time() < deadline:
+        th.join(poll_s)
+        if result:
+            return result[0]
+        print(
+            f"bench: waiting for TPU backend init "
+            f"({int(deadline - time.time())}s left)...", file=sys.stderr,
+        )
+    print(
+        "bench: TPU backend init did not complete within "
+        f"{int(total_s)}s — the axon tunnel appears down; aborting without a "
+        "measurement.", file=sys.stderr,
+    )
+    sys.exit(1)
+
+
+def main():
+    device_kind = _wait_for_device()
     value = measure_tpu()
     try:
         feed_limited = measure_tpu(batch=96, feed_through_host=True)
