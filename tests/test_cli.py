@@ -45,3 +45,27 @@ def test_extract_features_flags():
     h = _help("extract_features.py")
     for flag in ["--sets", "--subpart_data", "--nolog"]:
         assert flag in h, flag
+
+
+def test_platform_override_routes_to_real_cpu():
+    """DCASE_PLATFORM=cpu must land on real XLA:CPU WITHOUT initializing the
+    axon plugin (whose backend init dials the TPU tunnel and hangs forever
+    when the tunnel is down). Subprocess: the override mutates global jax
+    config before backend init."""
+    import os
+
+    env = dict(os.environ)
+    env["DCASE_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "axon"  # simulate the host pin
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from dcase2019_task4_tpu.cli import _apply_platform_override\n"
+         "_apply_platform_override()\n"
+         "import jax\n"
+         "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+         "assert 'JAX_PLATFORMS' not in __import__('os').environ\n"
+         "print('cpu-ok')\n"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "cpu-ok" in out.stdout
