@@ -11,7 +11,12 @@ from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
 from dcase2019_task4_tpu.utils.profiling import trace, top_device_ops
 
 batch = 96
-cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
+# --entry_block: profile with the merged entry-block kernel
+# (ops/fused_entry_block.py) instead of the entry-conv + fused-block pair
+entry_block = "--entry_block" in sys.argv
+cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
+                               entry_block_pallas=entry_block))
+print("entry_block_pallas:", entry_block)
 d, t = cfg.dsp, cfg.train
 model = CRNN(cfg.model)
 frontend = MelFrontend(
