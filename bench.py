@@ -167,7 +167,13 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
     from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
     from dcase2019_task4_tpu.data.pipeline import device_prefetch, quantize_audio_int16
 
-    cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
+    # DCASE_BENCH_ENTRY_BLOCK=1: A/B the merged entry-block kernel
+    # (ops/fused_entry_block.py) against the default entry-conv + fused-block
+    # pair without editing the file
+    cfg = Config(model=ModelConfig(
+        compute_dtype="bfloat16",
+        entry_block_pallas=os.environ.get("DCASE_BENCH_ENTRY_BLOCK") == "1",
+    ))
     d, t = cfg.dsp, cfg.train
     model = CRNN(cfg.model)
     frontend = MelFrontend(
