@@ -240,6 +240,17 @@ class Experiment:
 
     def _build_steps(self):
         t = self.cfg.train
+        if len(self.pipeline) == 0:
+            # loud failure instead of silently training 0 steps/epoch — easy
+            # to hit with --data_parallel, where the global batch is the
+            # per-device stream layout tiled by the mesh size
+            sizes = {s.name: len(s) for s in self.pipeline.streams}
+            raise ValueError(
+                f"0 steps/epoch: global batch {self.pipeline.batch_size} "
+                f"(per-stream {self.pipeline.sampler.batch_sizes}) exceeds "
+                f"the available stream sizes {sizes} — lower the batch size, "
+                "the mesh size, or raise --subpart_data"
+            )
         # rampup_length = steps/epoch · n_epoch / 2 (main.py:72)
         rampup_length = len(self.pipeline) * t.n_epoch // 2
         if self.ramped_adam:
@@ -279,8 +290,21 @@ class Experiment:
             spec_augment_cfg=sa_cfg,
             mesh=self.mesh,
         )
-        self.eval_features = make_eval_features(self.frontend, mean, std)
-        self.predict_step = make_predict_step(self.model)
+        # eval/validation also shards over the mesh (shard_map — the Pallas
+        # kernels have no GSPMD partitioning rules, a plain jit would gather
+        # onto one device). Single-process only: multi-host eval would need
+        # global-array assembly of eval batches; each host evaluating the
+        # full set redundantly is the multi-host behavior today.
+        eval_mesh = None
+        if (
+            self.mesh is not None
+            and self.process_count == 1
+            and self.pipeline.batch_size % self.mesh.devices.size == 0
+        ):
+            eval_mesh = self.mesh
+        self.eval_features = make_eval_features(self.frontend, mean, std,
+                                                mesh=eval_mesh)
+        self.predict_step = make_predict_step(self.model, mesh=eval_mesh)
         self.state = init_train_state(
             self.model, self.optimizer, jax.random.PRNGKey(self.seed), with_ema=self.mean_teacher
         )

@@ -267,20 +267,45 @@ def make_train_step(
     return TrainStep(jax.jit(step_fn, donate_argnums=donate_argnums), metric_keys)
 
 
-def make_eval_features(frontend, scaler_mean=None, scaler_std=None):
-    """Jitted inference featurization (no augmentation)."""
+def _shard_eval(fn, mesh, n_batch_args: int, n_const_args: int = 0,
+                n_out: int = 1):
+    """shard_map a pure inference fn over the mesh's first axis: const args
+    (params/state) replicated, batch args split on axis 0, outputs
+    batch-sharded. Pallas kernels have no GSPMD partitioning rules — a
+    plain jit over a >1-device mesh would gather to one device — so eval
+    scales the same way the train step does (shard_map, per-shard
+    kernels). Eval-mode BN uses running statistics: no cross-shard
+    reduction exists, so every shard is independent."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple([P()] * n_const_args + [P(axis)] * n_batch_args),
+        out_specs=P(axis) if n_out == 1 else tuple([P(axis)] * n_out),
+        check_vma=False,
+    )
+
+
+def make_eval_features(frontend, scaler_mean=None, scaler_std=None, mesh=None):
+    """Jitted inference featurization (no augmentation). With a >1-device
+    `mesh`, batches are sharded over its first axis (batch size must be
+    divisible by the device count — iter_eval_batches pads tails to the
+    full batch size, so this holds whenever the configured batch size
+    does)."""
     if scaler_mean is not None:
         scaler_mean = jnp.asarray(scaler_mean, jnp.float32)
         scaler_std = jnp.asarray(scaler_std, jnp.float32)
 
-    @jax.jit
     def featurize(audio, frames):
         x = frontend.log_mel(dequantize_audio(audio), frames)
         if scaler_mean is not None:
             x = (x - scaler_mean) / scaler_std
         return x
 
-    return featurize
+    if mesh is not None and mesh.devices.size > 1:
+        featurize = _shard_eval(featurize, mesh, n_batch_args=2)
+    return jax.jit(featurize)
 
 
 def make_scaler_stats(frontend):
@@ -305,14 +330,19 @@ def make_scaler_stats(frontend):
     return stats
 
 
-def make_predict_step(model):
+def make_predict_step(model, mesh=None):
     """Jitted batched inference: features → (strong probs, weak probs).
     Replaces the reference's per-clip batch-1 loop
-    (evaluation_measures.py:203-231) with full batches."""
+    (evaluation_measures.py:203-231) with full batches. With a >1-device
+    `mesh`, the batch shards over its first axis (params/state replicated)
+    so per-epoch validation scales with the training mesh instead of
+    collapsing onto one device."""
 
-    @jax.jit
     def predict(params, bn_state, features):
         strong, weak, _ = model.apply(params, bn_state, features, train=False)
         return strong, weak
 
-    return predict
+    if mesh is not None and mesh.devices.size > 1:
+        predict = _shard_eval(predict, mesh, n_batch_args=1, n_const_args=2,
+                              n_out=2)
+    return jax.jit(predict)

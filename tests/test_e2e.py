@@ -181,3 +181,31 @@ def test_evaluate_tune_thresholds(tmp_path, tiny_exp):
     assert 0.0 <= res["tuned_weak_macro_f1"] <= 1.0
     # tuned per-class F1 can never be worse than the fixed-0.5 threshold F1
     assert res["tuned_weak_macro_f1"] >= res["weak_macro_f1"] - 1e-9
+
+
+def test_data_parallel_experiment_epoch_and_validate():
+    """Full Experiment on the 8-device mesh: train_epoch runs the shard_map
+    step, validate() runs the SHARDED eval path (batch 8 % 8 == 0 activates
+    it) — the whole per-epoch loop scales over the mesh, not just the
+    train step."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+    # subpart 40: the global batch is the per-device [2|4|2] layout tiled
+    # 8× = [16|32|16], so every stream needs enough files for one batch
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=40, synthetic_audio=True,
+        seed=0, mesh=make_mesh(),
+    )
+    exp.build()
+    # the divisibility gate must have picked the sharded eval path
+    assert exp.pipeline.batch_size % 8 == 0
+    assert len(exp.pipeline) >= 1
+    meters = exp.train_epoch(0)
+    assert np.isfinite(meters.meters["loss"].avg)
+    metrics = exp.validate(0)
+    assert 0.0 <= metrics["event_macro_f1"] <= 1.0
+    assert 0.0 <= metrics["weak_macro_f1"] <= 1.0

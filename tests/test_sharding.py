@@ -157,3 +157,40 @@ def test_fused_grads_sharded_match_single_device():
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
                 err_msg=f"entry_block={entry_block}",
             )
+
+
+def test_sharded_eval_matches_single_device():
+    """make_predict_step/make_eval_features with a mesh: batch sharded over
+    8 devices through the fused CRNN (interpret kernels) must equal the
+    unsharded single-device inference bitwise-closely — eval-mode BN uses
+    running stats, so shards are independent by construction."""
+    from dcase2019_task4_tpu.ops.mel import MelFrontend
+    from dcase2019_task4_tpu.train.steps import make_eval_features, make_predict_step
+
+    mesh = make_mesh()
+    cfg = ModelConfig(fused_block=True, fused_interpret=True)
+    model = CRNN(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    frontend = MelFrontend(
+        sample_rate=16000, n_window=512, hop_length=256, n_mels=64,
+        f_min=0.0, f_max=8000.0, max_frames=96,
+    )
+    rng = np.random.default_rng(4)
+    B = 16
+    audio = (rng.standard_normal((B, 16000 + 512)) * 2000).astype(np.int16)
+    frames = np.full((B,), 96, np.int32)
+    mean = rng.standard_normal(64).astype(np.float32)
+    std = rng.uniform(0.5, 2.0, 64).astype(np.float32)
+
+    f1 = make_eval_features(frontend, mean, std)
+    f8 = make_eval_features(frontend, mean, std, mesh=mesh)
+    p1 = make_predict_step(model)
+    p8 = make_predict_step(model, mesh=mesh)
+
+    x1 = f1(audio, frames)
+    x8 = f8(audio, frames)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x8), rtol=1e-5, atol=1e-5)
+    s1, w1 = p1(params, state, x1)
+    s8, w8 = p8(params, state, x8)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s8), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w8), rtol=1e-5, atol=1e-6)
