@@ -194,15 +194,23 @@ def evaluate(argv=None):
                         "(eval/thresholds.py; the reference accepts "
                         "class_threshold binarization but ships no tuner, "
                         "evaluation_measures.py:60-66).")
+    parser.add_argument("--data_parallel", action="store_true", default=False,
+                        help="Shard eval batches over all visible devices.")
     args = parser.parse_args(argv)
     from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
 
+    mesh = None
+    if args.data_parallel:
+        from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     if args.torch_checkpoint:
         ev = CheckpointEvaluator.from_torch_checkpoint(
-            args.model_path, synthetic_audio=args.synthetic_audio
+            args.model_path, synthetic_audio=args.synthetic_audio, mesh=mesh
         )
     else:
-        ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio)
+        ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio,
+                                 mesh=mesh)
     paths = ev.cfg.paths
     sets = args.sets or [paths.eval2018, paths.validation, paths.eval_desed]
     results = {}

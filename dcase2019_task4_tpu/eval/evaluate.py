@@ -52,7 +52,7 @@ class _EvalState:
 
 class CheckpointEvaluator:
     def __init__(self, ckpt_path: Optional[str] = None, synthetic_audio: bool = False,
-                 logger=None, _prebuilt=None):
+                 logger=None, _prebuilt=None, mesh=None):
         self.log = logger or get_logger()
         if _prebuilt is not None:
             (self.cfg, self.model, self.state, self.scaler, self.codec, self.meta) = _prebuilt
@@ -77,12 +77,21 @@ class CheckpointEvaluator:
             amin=d.amin, top_db=d.top_db,
         )
         mean, std = self.scaler.mean_std_f32
-        self.eval_features = make_eval_features(self.frontend, mean, std)
-        self.predict = make_predict_step(self.model)
+        # mesh: shard eval batches over the devices (shard_map — exact for
+        # eval-mode BN); requires the batch size to divide the device count
+        if mesh is not None and self.cfg.train.batch_size % mesh.devices.size != 0:
+            self.log.warning(
+                f"eval batch {self.cfg.train.batch_size} not divisible by "
+                f"{mesh.devices.size} devices — running unsharded"
+            )
+            mesh = None
+        self.eval_features = make_eval_features(self.frontend, mean, std, mesh=mesh)
+        self.predict = make_predict_step(self.model, mesh=mesh)
         self.synthetic_audio = synthetic_audio
 
     @classmethod
-    def from_torch_checkpoint(cls, path: str, synthetic_audio: bool = False, logger=None):
+    def from_torch_checkpoint(cls, path: str, synthetic_audio: bool = False, logger=None,
+                              mesh=None):
         """Evaluate a reference torch.save checkpoint (TestModel.py's input
         format) by importing its weights (train/torch_import.py)."""
         from dcase2019_task4_tpu.train.torch_import import import_reference_checkpoint
@@ -93,7 +102,7 @@ class CheckpointEvaluator:
         state = _EvalState(params, bn_state)
         return cls(
             synthetic_audio=synthetic_audio, logger=logger,
-            _prebuilt=(cfg, model, state, scaler, codec, meta),
+            _prebuilt=(cfg, model, state, scaler, codec, meta), mesh=mesh,
         )
 
     def _stream(self, tsv_path: str, subpart: Optional[int]) -> Stream:

@@ -80,6 +80,18 @@ def test_checkpoint_evaluator_roundtrip(tmp_path, tiny_exp):
     assert 0.0 <= res["event_macro_f1"] <= 1.0
     assert os.path.exists(tmp_path / "preds.tsv")
 
+    # --data_parallel evaluation: sharded inference over the 8-device mesh
+    # must reproduce the unsharded metrics exactly (batch 8 % 8 == 0)
+    import jax
+
+    if len(jax.devices()) >= 8:
+        from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+        ev8 = CheckpointEvaluator(best, synthetic_audio=True, mesh=make_mesh())
+        res8 = ev8.test_model(tiny_exp.cfg.paths.validation, subpart=6)
+        assert res8["event_macro_f1"] == pytest.approx(res["event_macro_f1"], abs=1e-9)
+        assert res8["weak_macro_f1"] == pytest.approx(res["weak_macro_f1"], abs=1e-9)
+
 
 def test_no_synthetic_mode_composition():
     # main.py -n: [weak ¼ | unlabeled ¾], no strong loss (main.py:242-245)
