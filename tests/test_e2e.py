@@ -221,3 +221,27 @@ def test_data_parallel_experiment_epoch_and_validate():
     metrics = exp.validate(0)
     assert 0.0 <= metrics["event_macro_f1"] <= 1.0
     assert 0.0 <= metrics["weak_macro_f1"] <= 1.0
+
+
+def test_scaled_geometry_experiment_smoke():
+    """--scaled composition at test scale: 128 mels through the frontend,
+    128-ch convs (k=1 fused-kernel geometry), SpecAugment inside the jitted
+    step — one full epoch + validation (scaled_config itself only changes
+    sizes, exercised here at a CPU-feasible subpart)."""
+    from dcase2019_task4_tpu.config import DSPConfig
+
+    cfg = Config(
+        dsp=DSPConfig(max_len_seconds=1.0, n_mels=128, f_max=22050.0),
+        model=ModelConfig(nclass=10, nb_filters=(128, 128, 128), n_rnn_cell=16,
+                          pooling=((2, 4), (2, 4), (2, 8)), dropout=0.3),
+        train=TrainConfig(batch_size=8, n_epoch=1, num_prefetch=1,
+                          spec_augment=True, sa_max_time_width=8,
+                          sa_max_freq_width=8),
+    )
+    exp = Experiment(cfg, mean_teacher=True, subpart_data=12,
+                     synthetic_audio=True, seed=0)
+    exp.build()
+    meters = exp.train_epoch(0)
+    assert np.isfinite(meters.meters["loss"].avg)
+    metrics = exp.validate(0)
+    assert 0.0 <= metrics["event_macro_f1"] <= 1.0
