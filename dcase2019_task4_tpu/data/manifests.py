@@ -146,6 +146,19 @@ def subpart_manifest(m: Manifest, subpart_data: Optional[int], seed: int = 10) -
     return manifest_from_df(df)
 
 
+def shard_manifest(m: Manifest, process_index: int, process_count: int) -> Manifest:
+    """Every process_count-th unique filename (round-robin) — the multi-host
+    evaluation partition. Event/segment/tagging metric COUNTS are additive
+    over any file partition (eval/sed_scores.py count_vector), so each host
+    scores only its shard and the merged numbers are exact."""
+    if process_count <= 1:
+        return m
+    files = m.df["filename"].drop_duplicates().reset_index(drop=True)
+    keep = files[process_index::process_count]
+    df = m.df[m.df["filename"].isin(keep)].reset_index(drop=True)
+    return manifest_from_df(df)
+
+
 def split_weak(m: Manifest, frac: float = 0.8, seed: int = 26):
     """80/20 split of a weak manifest by row (reference main.py:215-218)."""
     train_df = m.df.sample(frac=frac, random_state=seed)

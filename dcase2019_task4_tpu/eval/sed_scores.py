@@ -157,6 +157,52 @@ class SedMetrics:
         self.seg_I = 0.0
         self._segment_based = False
 
+    # ---- additive count state (distributed evaluation) ----
+    #
+    # All scoring state is per-file-additive: matching runs per file, so
+    # per-class (tp, n_ref, n_sys), the overall counts, and the error-rate
+    # decomposition sum exactly over any partition of the evaluated files.
+    # count_vector/from_counts serialize that state onto a FIXED class list
+    # so shards that saw different class subsets merge correctly — the
+    # multi-host eval path scores every Pth file per host and all-sums the
+    # vectors (parallel/multihost.py all_sum_hosts).
+
+    def count_vector(self, classes: List[str]) -> np.ndarray:
+        """Flatten counts onto `classes` (superset of self.classes):
+        [tp,n_ref,n_sys]·len(classes) ++ [overall tp,n_ref,n_sys] ++
+        [n_subs, seg_S, seg_D, seg_I]."""
+        v = np.zeros(3 * len(classes) + 7, np.float64)
+        for i, c in enumerate(classes):
+            cc = self.counts.get(c)
+            if cc is not None:
+                v[3 * i : 3 * i + 3] = (cc.tp, cc.n_ref, cc.n_sys)
+        v[-7:-4] = (self.overall.tp, self.overall.n_ref, self.overall.n_sys)
+        v[-4:] = (self.n_subs, self.seg_S, self.seg_D, self.seg_I)
+        return v
+
+    @classmethod
+    def from_counts(cls, classes: List[str], name: str, vec: np.ndarray,
+                    segment_based: bool = False,
+                    drop_absent: bool = True) -> "SedMetrics":
+        """Rebuild from a (merged) count vector. drop_absent removes classes
+        with zero counts everywhere, reproducing the direct-scoring (and
+        sed_eval) convention that the class list is the union of labels
+        PRESENT in reference+estimate — otherwise the macro average would
+        differ from an unsharded run whenever a class is entirely absent."""
+        vec = np.asarray(vec, np.float64)
+        kept = [
+            c for i, c in enumerate(classes)
+            if not drop_absent or vec[3 * i : 3 * i + 3].any()
+        ]
+        m = cls(kept, name)
+        for i, c in enumerate(classes):
+            if c in m.counts:
+                m.counts[c] = ClassCounts(*vec[3 * i : 3 * i + 3])
+        m.overall = ClassCounts(*vec[-7:-4])
+        m.n_subs, m.seg_S, m.seg_D, m.seg_I = vec[-4:]
+        m._segment_based = segment_based
+        return m
+
     def class_wise_f_measure(self) -> Dict[str, float]:
         return {c: self.counts[c].f_measure for c in self.classes}
 

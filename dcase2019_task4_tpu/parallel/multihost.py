@@ -50,6 +50,31 @@ def host_shard_pairs(pairs: np.ndarray, process_index: int, process_count: int) 
     return pairs[process_index * per : (process_index + 1) * per]
 
 
+def shard_rows(n: int, process_index: int, process_count: int) -> np.ndarray:
+    """Row indices of an n-item evaluation set this host scores: every
+    process_count-th item (round-robin — balanced for any n, no divisibility
+    requirement). The per-host metric COUNTS merge additively
+    (eval/sed_scores.py count_vector), so the partition choice only affects
+    load balance, never the merged numbers."""
+    return np.arange(process_index, n, process_count)
+
+
+def all_sum_hosts(vec: np.ndarray) -> np.ndarray:
+    """Element-wise sum of a small host-local f64 vector across all
+    processes (identity single-process). Used to merge per-host additive
+    metric counts after sharded evaluation — the only cross-host traffic
+    the distributed eval path needs (a few hundred bytes per epoch)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(vec, np.float64)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(vec, jnp.float64))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def make_global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:
     """Assemble per-host arrays into global jax.Arrays sharded over `mesh`
     (jax.make_array_from_process_local_data)."""

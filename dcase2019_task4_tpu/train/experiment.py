@@ -200,6 +200,19 @@ class Experiment:
         self.weak_slice = slices[names.index("weak")] if "weak" in names else None
         self.strong_slice = slices[names.index("synthetic")] if "synthetic" in names else None
 
+        # multi-host: each host evaluates only every Pth validation file
+        # (round-robin); metric COUNTS merge additively across hosts in
+        # validate() (all_sum_hosts), so the per-epoch numbers — and with
+        # them SaveBest — are exact and identical on every host while the
+        # inference work divides by the host count.
+        if self.process_count > 1:
+            from dcase2019_task4_tpu.data.manifests import shard_manifest
+
+            valid_synth_m = shard_manifest(valid_synth_m, self.process_index,
+                                           self.process_count)
+            valid_weak_m = shard_manifest(valid_weak_m, self.process_index,
+                                          self.process_count)
+            self.valid_synth_df = valid_synth_m.df
         self.valid_synth_stream = self._make_stream("valid_synth", valid_synth_m, p.synthetic)
         self.valid_weak_stream = self._make_stream("valid_weak", valid_weak_m, p.weak)
 
@@ -390,7 +403,12 @@ class Experiment:
 
     def weak_f1(self, stream: Stream) -> np.ndarray:
         """Per-class weak tagging F1 over a stream (get_f_measure_by_class,
-        evaluation_measures.py:19-83)."""
+        evaluation_measures.py:19-83). Multi-host: each host accumulates its
+        local confusion counts, which are summed across hosts (additive, and
+        F1 is count-scale-invariant, so this is exact for both sharded and
+        redundantly-evaluated streams)."""
+        from dcase2019_task4_tpu.eval.tagging import macro_f_measure
+
         d = self.cfg.dsp
         acc = TaggingF1(len(self.classes))
         params, bn = self.state.params, self.state.bn_state
@@ -401,7 +419,39 @@ class Experiment:
             _, weak = self.predict_step(params, bn, x)
             nv = batch["n_valid"]
             acc.update(np.asarray(weak)[:nv], batch["target"][:nv])
+        if self.process_count > 1:
+            from dcase2019_task4_tpu.parallel.multihost import all_sum_hosts
+
+            tp, fp, fn, _ = all_sum_hosts(np.stack([acc.tp, acc.fp, acc.fn, acc.tn]))
+            return macro_f_measure(tp, fp, fn)
         return acc.per_class_f1()
+
+    def _merged_strong_metrics(self, predictions):
+        """Multi-host strong scoring: score the LOCAL shard of validation
+        files, all-sum the additive count vectors across hosts, and rebuild
+        global metrics — every host logs (and SaveBest reads) the same exact
+        numbers as an unsharded run."""
+        from dcase2019_task4_tpu.eval.sed_scores import (
+            SedMetrics,
+            event_based_metrics,
+            segment_based_metrics,
+        )
+        from dcase2019_task4_tpu.parallel.multihost import all_sum_hosts
+
+        ev_local = event_based_metrics(self.valid_synth_df, predictions)
+        seg_local = segment_based_metrics(self.valid_synth_df, predictions, 1.0)
+        ev = SedMetrics.from_counts(
+            self.classes, "Event-based",
+            all_sum_hosts(ev_local.count_vector(self.classes)),
+        )
+        seg = SedMetrics.from_counts(
+            self.classes, "Segment-based",
+            all_sum_hosts(seg_local.count_vector(self.classes)),
+            segment_based=True,
+        )
+        self.log.info(str(ev))
+        self.log.info(str(seg))
+        return ev
 
     def validate(self, epoch: int) -> Dict[str, float]:
         if not self.mean_teacher:
@@ -423,7 +473,10 @@ class Experiment:
                 self.log.info(f"Weak F1 macro averaged: {np.mean(weak_t):.4f}")
         self.log.info("### Valid synthetic metric ###")
         predictions = self.predict_dataframe(self.valid_synth_stream)
-        event_metric = compute_strong_metrics(predictions, self.valid_synth_df, self.log)
+        if self.process_count > 1:
+            event_metric = self._merged_strong_metrics(predictions)
+        else:
+            event_metric = compute_strong_metrics(predictions, self.valid_synth_df, self.log)
         self.log.info("### Valid weak metric ###")
         weak = self.weak_f1(self.valid_weak_stream)
         self.log.info(f"Weak F1 per class: {dict(zip(self.classes, np.round(weak * 100, 2)))}")

@@ -245,3 +245,46 @@ def test_scaled_geometry_experiment_smoke():
     assert np.isfinite(meters.meters["loss"].avg)
     metrics = exp.validate(0)
     assert 0.0 <= metrics["event_macro_f1"] <= 1.0
+
+
+def test_multihost_sharded_validation_merge_matches_single_host(monkeypatch):
+    """Simulate 3 hosts: each Experiment (same seed → identical params)
+    shards the validation manifests round-robin (shard_manifest via the
+    patched process index), scores its own files, and the summed count
+    vectors must rebuild exactly the single-host metrics."""
+    import jax
+
+    from dcase2019_task4_tpu.eval.sed_scores import (
+        SedMetrics,
+        event_based_metrics,
+    )
+
+    def build(pid, pcount):
+        monkeypatch.setattr(jax, "process_index", lambda: pid)
+        monkeypatch.setattr(jax, "process_count", lambda: pcount)
+        exp = Experiment(
+            TINY_CFG, mean_teacher=True, subpart_data=12, synthetic_audio=True,
+            seed=0,
+        )
+        exp.build()
+        return exp
+
+    full = build(0, 1)
+    classes = list(full.classes)
+    pred_full = full.predict_dataframe(full.valid_synth_stream)
+    ev_full = event_based_metrics(full.valid_synth_df, pred_full)
+
+    vec = np.zeros(3 * len(classes) + 7)
+    seen_files = []
+    for pid in range(3):
+        host = build(pid, 3)
+        assert host.process_count == 3
+        seen_files.extend(host.valid_synth_stream.filenames)
+        pred = host.predict_dataframe(host.valid_synth_stream)
+        vec += event_based_metrics(host.valid_synth_df, pred).count_vector(classes)
+    # the round-robin shards partition the full validation set
+    assert sorted(seen_files) == sorted(full.valid_synth_stream.filenames)
+
+    merged = SedMetrics.from_counts(classes, "Event-based", vec)
+    assert merged.macro_f_measure() == pytest.approx(ev_full.macro_f_measure(), abs=1e-12)
+    assert merged.results_overall_metrics() == ev_full.results_overall_metrics()

@@ -214,3 +214,53 @@ def test_event_metrics_random_selfmatch():
     assert m.macro_f_measure() == 1.0
     s = segment_based_metrics(df, df.copy())
     assert s.macro_f_measure() == 1.0
+
+
+def test_count_vector_merge_equals_whole_set_scoring():
+    """Distributed-eval invariant: scoring a file partition per 'host' and
+    summing count_vector()s reproduces whole-set metrics exactly (event AND
+    segment, macro AND overall/ER) — matching runs per file, so every count
+    is additive over files. drop_absent reproduces the direct-scoring class
+    list (union of labels present)."""
+    from dcase2019_task4_tpu.eval.sed_scores import SedMetrics
+
+    rng = np.random.default_rng(0)
+    classes = [f"c{i}" for i in range(6)]
+    ref_rows, est_rows = [], []
+    for f in range(17):
+        fname = f"f{f}.wav"
+        for _ in range(rng.integers(1, 5)):
+            on = float(rng.uniform(0, 8))
+            ref_rows.append([fname, on, on + float(rng.uniform(0.3, 2.0)),
+                             classes[rng.integers(0, 5)]])  # c5 absent in ref
+        for _ in range(rng.integers(0, 5)):
+            on = float(rng.uniform(0, 8))
+            est_rows.append([fname, on, on + float(rng.uniform(0.3, 2.0)),
+                             classes[rng.integers(0, 6)]])
+    ref, est = _df(ref_rows), _df(est_rows)
+
+    whole_ev = event_based_metrics(ref, est)
+    whole_seg = segment_based_metrics(ref, est, 1.0)
+
+    P = 3
+    ev_vec = np.zeros(3 * len(classes) + 7)
+    seg_vec = np.zeros(3 * len(classes) + 7)
+    for p in range(P):
+        keep = [f"f{f}.wav" for f in range(17) if f % P == p]
+        r = ref[ref.filename.isin(keep)].reset_index(drop=True)
+        e = est[est.filename.isin(keep)].reset_index(drop=True)
+        ev_vec += event_based_metrics(r, e).count_vector(classes)
+        seg_vec += segment_based_metrics(r, e, 1.0).count_vector(classes)
+
+    merged_ev = SedMetrics.from_counts(classes, "Event-based", ev_vec)
+    merged_seg = SedMetrics.from_counts(classes, "Segment-based", seg_vec,
+                                        segment_based=True)
+    assert sorted(merged_ev.classes) == sorted(whole_ev.classes)
+    assert merged_ev.macro_f_measure() == whole_ev.macro_f_measure()
+    assert merged_seg.macro_f_measure() == whole_seg.macro_f_measure()
+    for m, w in ((merged_ev, whole_ev), (merged_seg, whole_seg)):
+        assert m.results_overall_metrics() == w.results_overall_metrics()
+        for c in w.classes:
+            assert m.counts[c].tp == w.counts[c].tp
+            assert m.counts[c].n_ref == w.counts[c].n_ref
+            assert m.counts[c].n_sys == w.counts[c].n_sys
