@@ -102,3 +102,15 @@ def test_tpu_production_shape_parity():
     mc = np.asarray(jax.jit(fe_c.linear_mel)(a))
     # bf16 compute: both paths share cast points; differences are rounding
     assert np.abs(mp - mc).max() / np.abs(mc).max() < 2e-3
+
+
+def test_interpret_scaled_mel_count():
+    """128-mel (scaled-config) geometry through the fused kernel: the mel
+    matrix widens to 128 lanes — parity with the chunked path."""
+    fe_p, fe_c = _frontends(n_mels=128, f_max=8000.0)
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((2, 140)).astype(np.float32))
+    mp = np.asarray(fe_p.linear_mel(a))
+    mc = np.asarray(fe_c.linear_mel(a))
+    assert mp.shape[-1] == 128
+    np.testing.assert_allclose(mp, mc, atol=1e-5 * np.abs(mc).max())
