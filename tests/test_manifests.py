@@ -101,3 +101,23 @@ def test_encode_targets_unlabeled_sentinel():
     codec = LabelCodec(CFG.classes, n_frames=4)
     y = subpart_manifest(m, 5).encode_targets(codec, 44100, 511, 8)
     np.testing.assert_array_equal(y, np.full((5, 4, 10), -1.0))
+
+
+def test_shard_manifest_round_robin_partition():
+    """Every Pth unique filename per host; the shards form a disjoint
+    partition of the set (the multi-host eval split), and rows of a
+    multi-row (strong) file all travel with their file."""
+    from dcase2019_task4_tpu.data.manifests import shard_manifest
+
+    m = subpart_manifest(load_manifest(CFG.paths.synthetic), 11)
+    P = 3
+    shards = [shard_manifest(m, p, P) for p in range(P)]
+    all_files = sorted(m.filenames)
+    sharded = sorted(f for s in shards for f in s.filenames)
+    assert sharded == all_files
+    assert sum(len(s.df) for s in shards) == len(m.df)
+    for p in range(P):
+        for q in range(p + 1, P):
+            assert not set(shards[p].filenames) & set(shards[q].filenames)
+    # P=1 is the identity
+    assert shard_manifest(m, 0, 1) is m
