@@ -264,3 +264,27 @@ def test_count_vector_merge_equals_whole_set_scoring():
             assert m.counts[c].tp == w.counts[c].tp
             assert m.counts[c].n_ref == w.counts[c].n_ref
             assert m.counts[c].n_sys == w.counts[c].n_sys
+
+
+def test_from_counts_drop_absent_semantics():
+    """drop_absent (default) removes all-zero classes from the macro — the
+    direct-scoring class-list convention; drop_absent=False keeps them
+    (zero F1 entries lower the macro)."""
+    from dcase2019_task4_tpu.eval.sed_scores import SedMetrics
+
+    classes = ["a", "b"]
+    vec = np.zeros(3 * 2 + 7)
+    vec[0:3] = (1.0, 1.0, 1.0)  # class a perfect; class b absent
+    m = SedMetrics.from_counts(classes, "Event-based", vec)
+    assert m.classes == ["a"] and m.macro_f_measure() == 1.0
+    m2 = SedMetrics.from_counts(classes, "Event-based", vec, drop_absent=False)
+    assert m2.classes == ["a", "b"] and m2.macro_f_measure() == 0.5
+
+
+def test_all_sum_hosts_single_process_identity():
+    from dcase2019_task4_tpu.parallel.multihost import all_sum_hosts
+
+    v = np.array([1.5, 0.0, 3.0])
+    out = all_sum_hosts(v)
+    np.testing.assert_array_equal(out, v)
+    assert out.dtype == np.float64
