@@ -226,3 +226,32 @@ def test_entry_conv_rowmat_matches_lax_conv():
         g2 = jax.grad(lambda p: jnp.sum(L.conv2d_entry_rowmat(p, x) * ct))(params)
         np.testing.assert_allclose(np.asarray(g2["w"]), np.asarray(g1["w"]), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(g2["b"]), np.asarray(g1["b"]), rtol=1e-4, atol=1e-4)
+
+
+def test_eval_forward_matches_torch_scaled_geometry():
+    """Same golden comparison at the scaled config's geometry (128-ch convs,
+    128-mel input, (2,4)/(2,4)/(2,8) pooling) — the k=1 no-lane-packing
+    kernel path and the wider GLU/BN shapes."""
+    cfg = ModelConfig(nclass=10, nb_filters=(128, 128, 128), n_rnn_cell=16,
+                      pooling=((2, 4), (2, 4), (2, 8)))
+    model = CRNN(cfg)
+    params, state0 = model.init(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(3)
+    state = {
+        "cnn": [
+            {
+                "mean": jnp.asarray(rng.normal(0, 0.5, s["mean"].shape).astype(np.float32)),
+                "var": jnp.asarray(rng.uniform(0.5, 2.0, s["var"].shape).astype(np.float32)),
+            }
+            for s in state0["cnn"]
+        ]
+    }
+    x = rng.standard_normal((2, 96, 128)).astype(np.float32) * 2.0
+    strong, weak, _ = jax.jit(lambda p, s, xx: model.apply(p, s, xx, train=False))(
+        params, state, jnp.asarray(x)
+    )
+    tm = copy_params_to_torch(params, state, TorchCRNN(cfg), cfg).eval()
+    with torch.no_grad():
+        ts, tw = tm(torch.from_numpy(x[:, None]))
+    np.testing.assert_allclose(np.asarray(strong), ts.numpy(), rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(weak), tw.numpy(), rtol=1e-3, atol=2e-5)
