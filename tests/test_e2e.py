@@ -288,3 +288,31 @@ def test_multihost_sharded_validation_merge_matches_single_host(monkeypatch):
     merged = SedMetrics.from_counts(classes, "Event-based", vec)
     assert merged.macro_f_measure() == pytest.approx(ev_full.macro_f_measure(), abs=1e-12)
     assert merged.results_overall_metrics() == ev_full.results_overall_metrics()
+
+
+def test_data_parallel_resume_roundtrip(tmp_path):
+    """--resume under --data_parallel: checkpoints save replicated mesh
+    state as numpy and restore() must feed cleanly back into the shard_map
+    step (jit re-commits the replicated spec)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=40, synthetic_audio=True,
+        seed=0, mesh=make_mesh(),
+    )
+    exp.build()
+    store = str(tmp_path / "dp_run")
+    exp.run(store_dir=store, n_epoch=1)
+    ck = os.path.join(store, "model", "baseline_epoch_0")
+
+    exp2 = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=40, synthetic_audio=True,
+        seed=0, mesh=make_mesh(),
+    )
+    exp2.build()
+    res = exp2.run(store_dir=store, n_epoch=2, resume_from=ck)
+    assert "event_macro_f1" in res
