@@ -1,0 +1,63 @@
+"""Subprocess driver for the REAL multi-process multihost test
+(tests/test_multihost_real.py): one OS process per simulated host, real
+jax.distributed.initialize over localhost (Gloo CPU collectives), 2 local
+CPU devices per process.
+
+Usage: python tests/multihost_driver.py <process_id> <num_processes> <port> <out_json>
+With num_processes=1 it runs the single-process reference on the same
+GLOBAL device count (2·P devices) for the equivalence comparison.
+"""
+
+import json
+import os
+import sys
+
+pid, nprocs, port, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+n_local = 2 if nprocs > 1 else 4
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")
+if nprocs > 1:
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nprocs, process_id=pid
+    )
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dcase2019_task4_tpu.config import Config, DSPConfig, ModelConfig, TrainConfig  # noqa: E402
+from dcase2019_task4_tpu.parallel.mesh import make_mesh  # noqa: E402
+from dcase2019_task4_tpu.train.experiment import Experiment  # noqa: E402
+
+cfg = Config(
+    dsp=DSPConfig(max_len_seconds=1.0),
+    model=ModelConfig(nclass=10, nb_filters=(16, 16, 16), n_rnn_cell=16, dropout=0.0),
+    train=TrainConfig(batch_size=8, n_epoch=1, num_prefetch=1),
+)
+exp = Experiment(cfg, mean_teacher=True, subpart_data=24, synthetic_audio=True,
+                 seed=0, mesh=make_mesh())
+exp.build()
+assert exp.process_count == nprocs, (exp.process_count, nprocs)
+meters = exp.train_epoch(0)
+metrics = exp.validate(0)
+out = {
+    "pid": pid,
+    "nprocs": nprocs,
+    "n_global_devices": len(jax.devices()),
+    "loss": float(meters.meters["loss"].avg),
+    "event_macro_f1": float(metrics["event_macro_f1"]),
+    "weak_macro_f1": float(metrics["weak_macro_f1"]),
+    "n_valid_files_local": len(exp.valid_synth_stream.filenames),
+}
+with open(out_path, "w") as f:
+    json.dump(out, f)
+print("driver done:", out, flush=True)
