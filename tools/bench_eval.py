@@ -20,7 +20,7 @@ from jax import lax
 from dcase2019_task4_tpu.config import Config, ModelConfig
 from dcase2019_task4_tpu.models.crnn import CRNN
 from dcase2019_task4_tpu.ops.mel import MelFrontend
-from dcase2019_task4_tpu.train.steps import make_eval_features, make_predict_step, init_train_state
+from dcase2019_task4_tpu.train.steps import dequantize_audio, init_train_state
 
 B = int(os.environ.get("DCASE_EVAL_BATCH", "96"))
 N = 20
@@ -35,10 +35,6 @@ frontend = MelFrontend(
     n_mels=d.n_mels, f_min=d.f_min, f_max=d.f_max, max_frames=d.max_frames,
     compute_dtype="bfloat16",
 )
-featurize = make_eval_features(frontend, np.zeros(d.n_mels, np.float32),
-                               np.ones(d.n_mels, np.float32))
-predict = make_predict_step(model)
-
 rng = np.random.default_rng(0)
 Lp = d.max_samples + d.n_window
 audio = jax.device_put(jnp.asarray((rng.standard_normal((B, Lp)) * 5000).astype(np.int16)))
@@ -48,7 +44,7 @@ frames = jax.device_put(jnp.full((B,), d.max_frames, jnp.int32))
 @jax.jit
 def run(audio, frames, params, bn):
     def step(a, _):
-        x = frontend.log_mel((a.astype(jnp.float32)) / 32767.0, frames)
+        x = frontend.log_mel(dequantize_audio(a), frames)
         s, w = model.apply(params, bn, x, train=False)[:2]
         # chain: perturb the int16 audio by a tiny function of the output
         probe = (jnp.sum(s.astype(jnp.float32)) * 1e-20).astype(jnp.int16)
