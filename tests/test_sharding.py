@@ -194,3 +194,46 @@ def test_sharded_eval_matches_single_device():
     s8, w8 = p8(params, state, x8)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s8), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w8), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_grads_sharded_match_single_device_k1_geometry():
+    """Same exact-gradient pin at the scaled config's k=1 (no lane packing)
+    kernel geometry: 128-ch convs, 32-mel input (k = 128//128 = 1), so the
+    BN through-statistics psum path runs with unfolded [128]-lane sums."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    B = 16
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, 32, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(2)
+    cfg = ModelConfig(
+        fused_block=True, fused_interpret=True, dropout=0.0,
+        nb_filters=(128, 128, 128), n_rnn_cell=8,
+        pooling=((2, 4), (2, 4), (2, 2)),
+    )
+    model = CRNN(cfg)
+    params, state = model.init(jax.random.PRNGKey(1))
+    sh = model.apply(params, state, x, train=True, rng=key)[0].shape
+    cts = jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+    def loss(p, xb, cb, axis=None, axis_size=1):
+        s, _, _ = model.apply(p, state, xb, train=True, rng=key,
+                              batch_axis=axis, axis_size=axis_size)
+        return jnp.mean(jnp.sum(s * cb, axis=(1, 2)))
+
+    g_single = jax.grad(loss)(params, x, cts)
+
+    def shard_fn(p, xb, cb):
+        g = jax.grad(lambda pp: loss(pp, xb, cb, "data", 8))(p)
+        return jax.lax.pmean(g, "data")
+
+    g_sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")), out_specs=P(),
+        check_vma=False,
+    )(params, x, cts)
+
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
