@@ -18,4 +18,4 @@ Layout:
   utils     — logging, meters, scaler
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
