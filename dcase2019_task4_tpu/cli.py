@@ -225,6 +225,45 @@ def evaluate(argv=None):
     return results
 
 
+def predict(argv=None):
+    """Groundtruth-free batched inference: checkpoint + wav dir (or filename
+    TSV) → event predictions TSV (+ optional weak clip-tag TSV). Serving
+    surface beyond the reference (TestModel.py always scores vs labels)."""
+    _apply_platform_override()
+    parser = argparse.ArgumentParser(description="Batched inference to a predictions TSV")
+    parser.add_argument("-m", "--model_path", type=str, required=True)
+    parser.add_argument("-i", "--input", type=str, required=True,
+                        help="Directory of wavs, or a filename TSV.")
+    parser.add_argument("-p", "--save_predictions_fname", type=str, required=True)
+    parser.add_argument("-s", "--subpart_data", type=int, default=None)
+    parser.add_argument("--weak_fname", type=str, default=None,
+                        help="Also write clip-level tags (filename⇥event_labels).")
+    parser.add_argument("--weak_threshold", type=float, default=0.5)
+    parser.add_argument("--synthetic_audio", action="store_true", default=False)
+    parser.add_argument("--torch_checkpoint", action="store_true", default=False)
+    parser.add_argument("--data_parallel", action="store_true", default=False)
+    args = parser.parse_args(argv)
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+
+    mesh = None
+    if args.data_parallel:
+        from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if args.torch_checkpoint:
+        ev = CheckpointEvaluator.from_torch_checkpoint(
+            args.model_path, synthetic_audio=args.synthetic_audio, mesh=mesh
+        )
+    else:
+        ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio,
+                                 mesh=mesh)
+    res = ev.predict_set(
+        args.input, args.save_predictions_fname, subpart=args.subpart_data,
+        weak_fname=args.weak_fname, weak_threshold=args.weak_threshold,
+    )
+    return {k: v for k, v in res.items() if k != "predictions"}
+
+
 def precompute(argv=None):
     """Reference-style feature precompute to .npy (optional — the default
     training path featurizes on device every step)."""

@@ -118,6 +118,79 @@ class CheckpointEvaluator:
             self.cfg.dsp.hop_length, self.meta["pooling_time_ratio"],
         )
 
+    def predict_set(self, source_path: str, save_predictions_fname: str,
+                    subpart: Optional[int] = None,
+                    weak_fname: Optional[str] = None,
+                    weak_threshold: float = 0.5) -> Dict:
+        """Groundtruth-free batched inference (serving surface — goes beyond
+        the reference, whose TestModel.py:25-62 always scores against labels).
+
+        `source_path` is either a directory of wavs or a filename TSV (any of
+        the three schemas; labels, if present, are ignored). Emits the strong
+        event predictions TSV in the exact get_predictions format
+        (evaluation_measures.py:216-230) and, optionally, a weak clip-tagging
+        TSV (`filename⇥event_labels`, classes whose attention-pooled
+        probability clears `weak_threshold`, the reference's weak TSV schema).
+        """
+        import os
+
+        import pandas as pd
+
+        from dcase2019_task4_tpu.data.manifests import Manifest, load_manifest
+
+        d = self.cfg.dsp
+        if os.path.isdir(source_path):
+            names = sorted(
+                f for f in os.listdir(source_path) if f.lower().endswith(".wav")
+            )
+            manifest = Manifest(
+                kind="unlabeled", filenames=names, df=pd.DataFrame({"filename": names})
+            )
+            audio_dir = source_path
+        else:
+            manifest = load_manifest(source_path)
+            audio_dir = self.cfg.paths.audio_dir_for_meta(source_path)
+        manifest = subpart_manifest(manifest, subpart)
+        if self.synthetic_audio:
+            src = SyntheticAudioSource(manifest, self.codec.labels, d.sample_rate,
+                                       d.max_len_seconds)
+        else:
+            src = WavAudioSource(audio_dir, d.sample_rate)
+        stream = Stream("predict", manifest, src, self.codec, d.sample_rate,
+                        d.hop_length, self.meta["pooling_time_ratio"])
+        params, bn = self.state.params, self.state.bn_state
+        dfs, weak_rows = [], []
+        for batch in iter_eval_batches(
+            stream, self.cfg.train.batch_size, d.max_samples, d.n_window,
+            d.hop_length, d.max_frames
+        ):
+            x = self.eval_features(batch["audio"], batch["frames"])
+            strong, weak = self.predict(params, bn, x)
+            nv = batch["n_valid"]
+            dfs.append(
+                decode_batch(
+                    np.asarray(strong)[:nv], batch["filenames"], self.codec,
+                    d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
+                    median_window=self.cfg.train.median_window,
+                )
+            )
+            if weak_fname:
+                w = np.asarray(weak)[:nv]
+                for fname, probs in zip(batch["filenames"][:nv], w):
+                    tags = [self.codec.labels[i] for i in np.nonzero(probs > weak_threshold)[0]]
+                    weak_rows.append((fname, ",".join(tags)))
+        predictions = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
+            columns=["event_label", "onset", "offset", "filename"]
+        )
+        self.log.info(f"Saving predictions at: {save_predictions_fname}")
+        predictions_to_tsv(predictions, save_predictions_fname)
+        if weak_fname:
+            pd.DataFrame(weak_rows, columns=["filename", "event_labels"]).to_csv(
+                weak_fname, sep="\t", index=False
+            )
+            self.log.info(f"Saving weak tags at: {weak_fname}")
+        return {"predictions": predictions, "n_files": len(stream)}
+
     def test_model(self, tsv_path: str, subpart: Optional[int] = None,
                    save_predictions_fname: Optional[str] = None,
                    tune_thresholds: bool = False) -> Dict:

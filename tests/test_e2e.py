@@ -316,3 +316,61 @@ def test_data_parallel_resume_roundtrip(tmp_path):
     exp2.build()
     res = exp2.run(store_dir=store, n_epoch=2, resume_from=ck)
     assert "event_macro_f1" in res
+
+
+def test_predict_set_groundtruth_free(tmp_path, tiny_exp):
+    """predict_set: serving surface — wav dir or TSV in, events TSV out,
+    no labels needed; events equal the scored test_model run's TSV."""
+    import pandas as pd
+
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    path = str(tmp_path / "ckpt_pred")
+    ckpt.save_checkpoint(path, tiny_exp.state, tiny_exp.checkpoint_metadata(0, {}))
+    ev = CheckpointEvaluator(path, synthetic_audio=True)
+    tsv = tiny_exp.cfg.paths.validation
+
+    pred_tsv = str(tmp_path / "pred.tsv")
+    weak_tsv = str(tmp_path / "weak.tsv")
+    res = ev.predict_set(tsv, pred_tsv, subpart=6, weak_fname=weak_tsv)
+    assert res["n_files"] == 6
+    got = pd.read_csv(pred_tsv, sep="\t")
+    assert list(got.columns) == ["event_label", "onset", "offset", "filename"]
+
+    # same model scored through test_model must emit identical events
+    scored = ev.test_model(tsv, subpart=6, save_predictions_fname=str(tmp_path / "ref.tsv"))
+    pd.testing.assert_frame_equal(
+        got, pd.read_csv(tmp_path / "ref.tsv", sep="\t"), check_dtype=False
+    )
+
+    # weak tag TSV is the reference weak schema (filename⇥event_labels)
+    tags = pd.read_csv(weak_tsv, sep="\t")
+    assert list(tags.columns) == ["filename", "event_labels"]
+    assert len(tags) == 6
+
+    # directory input: manifest built from the wav listing itself
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    names = sorted(pd.read_csv(tsv, sep="\t")["filename"].drop_duplicates())[:4]
+    for n in names:
+        (wav_dir / n).touch()  # contents unread under synthetic_audio
+    res_dir = ev.predict_set(str(wav_dir), str(tmp_path / "pred_dir.tsv"))
+    assert res_dir["n_files"] == 4
+    got_dir = pd.read_csv(tmp_path / "pred_dir.tsv", sep="\t")
+    assert set(got_dir["filename"]) <= set(names)
+
+
+def test_predict_cli(tmp_path, tiny_exp):
+    from dcase2019_task4_tpu import cli
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    path = str(tmp_path / "ckpt_cli")
+    ckpt.save_checkpoint(path, tiny_exp.state, tiny_exp.checkpoint_metadata(0, {}))
+    out = str(tmp_path / "cli_pred.tsv")
+    res = cli.predict([
+        "-m", path, "-i", tiny_exp.cfg.paths.validation, "-p", out,
+        "-s", "4", "--synthetic_audio",
+    ])
+    assert res["n_files"] == 4
+    assert os.path.exists(out)
