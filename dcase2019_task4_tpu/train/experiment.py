@@ -523,8 +523,17 @@ class Experiment:
             meta = self.restore(resume_from)
             start_epoch = int(meta["epoch"]) + 1
             self.log.info(f"resumed from {resume_from} at epoch {start_epoch}")
+        from dcase2019_task4_tpu.utils.metrics_writer import MetricsWriter
+
+        # structured per-epoch history (JSONL; append so --resume extends it).
+        # Multi-host: only process 0 writes (all hosts compute identical
+        # merged metrics).
+        writer = MetricsWriter(
+            os.path.join(store_dir, "metrics.jsonl") if self.process_index == 0 else None
+        )
         for epoch in range(start_epoch, n_epoch):
-            self.train_epoch(epoch)
+            t0 = time.time()
+            meters = self.train_epoch(epoch)
             last_valid = self.validate(epoch)
             if self.strong_slice is not None:
                 global_valid = last_valid["event_macro_f1"] + last_valid["weak_macro_f1"]
@@ -535,8 +544,18 @@ class Experiment:
                 ckpt.save_checkpoint(
                     os.path.join(model_dir, f"baseline_epoch_{epoch}"), self.state, meta
                 )
-            if t.save_best and save_best.apply(global_valid):
+            is_best = bool(t.save_best and save_best.apply(global_valid))
+            if is_best:
                 ckpt.save_checkpoint(best_path, self.state, meta)
+            writer.write({
+                "epoch": epoch,
+                "epoch_time_s": round(time.time() - t0, 2),
+                **meters.averages(""),
+                **last_valid,
+                "global_valid": global_valid,
+                "saved_best": is_best,
+            })
+        writer.close()
         if t.save_best and os.path.exists(best_path):
             self.state, meta = ckpt.restore_checkpoint(best_path, self.state)
             self.log.info(f"testing model: {best_path} (epoch {meta['epoch']})")

@@ -374,3 +374,37 @@ def test_predict_cli(tmp_path, tiny_exp):
     ])
     assert res["n_files"] == 4
     assert os.path.exists(out)
+
+
+def test_metrics_jsonl_history(tmp_path):
+    """run() writes one structured JSONL record per epoch; --resume appends
+    to the same file (utils/metrics_writer.py)."""
+    from dcase2019_task4_tpu.utils.metrics_writer import read_metrics
+
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=12, synthetic_audio=True, seed=3
+    )
+    exp.build()
+    store = str(tmp_path / "hist_run")
+    exp.run(store_dir=store, n_epoch=1)
+    path = os.path.join(store, "metrics.jsonl")
+    recs = read_metrics(path)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["epoch"] == 0
+    for key in ("ts", "epoch_time_s", "loss", "event_macro_f1", "weak_macro_f1",
+                "global_valid", "saved_best"):
+        assert key in r, key
+    assert r["global_valid"] == pytest.approx(
+        r["event_macro_f1"] + r["weak_macro_f1"]
+    )
+
+    # resume appends epoch 1 to the same history
+    exp2 = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=12, synthetic_audio=True, seed=3
+    )
+    exp2.build()
+    exp2.run(store_dir=store, n_epoch=2,
+             resume_from=os.path.join(store, "model", "baseline_epoch_0"))
+    recs = read_metrics(path)
+    assert [r["epoch"] for r in recs] == [0, 1]
