@@ -61,6 +61,11 @@ def _common_train_args(parser):
                         help="Checkpoint to resume training from (true resume — "
                         "new capability; the reference only re-evaluates).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--early_stopping", type=int, default=None,
+                        help="Stop after N epochs without improvement of the "
+                        "SaveBest criterion (the reference defines "
+                        "EarlyStopping, utils/utils.py:286-334, but never "
+                        "wires it).")
     parser.add_argument("--ramped_adam", action="store_true", default=False,
                         help="Ramped Adam hyperparameter schedule "
                         "(train/schedules.py — the reference's commented-out "
@@ -136,7 +141,8 @@ def train_meanteacher(argv=None):
     store = args.store_dir or os.path.join(Config().paths.store_dir, "MeanTeacher" + tag)
     exp = _build_experiment(args, mean_teacher=True, no_synthetic=args.no_synthetic)
     exp.build()
-    result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume)
+    result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume,
+                     early_stopping=args.early_stopping)
     # final test on validation + public eval (main.py:356-373)
     _final_test(exp, store, args)
     return result
@@ -155,7 +161,8 @@ def train_crnn(argv=None):
     store = args.store_dir or os.path.join(Config().paths.store_dir, "simple_CRNN" + tag)
     exp = _build_experiment(args, mean_teacher=False, no_weak=args.no_weak)
     exp.build()
-    result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume)
+    result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume,
+                     early_stopping=args.early_stopping)
     _final_test(exp, store, args)
     return result
 

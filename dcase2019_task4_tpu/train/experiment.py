@@ -45,7 +45,7 @@ from dcase2019_task4_tpu.train.steps import (
     make_train_step,
 )
 from dcase2019_task4_tpu.utils.logger import get_logger
-from dcase2019_task4_tpu.utils.meters import AverageMeterSet, SaveBest
+from dcase2019_task4_tpu.utils.meters import AverageMeterSet, EarlyStopping, SaveBest
 from dcase2019_task4_tpu.utils.scaler import Scaler
 
 
@@ -502,12 +502,16 @@ class Experiment:
         store_dir: Optional[str] = None,
         n_epoch: Optional[int] = None,
         resume_from: Optional[str] = None,
+        early_stopping: Optional[int] = None,
     ) -> Dict:
         """The reference's 100-epoch loop with per-epoch validation,
         checkpointing and SaveBest on event-F1 + weak-F1 (main.py:316-354).
         `resume_from` restores a checkpoint (params, EMA, optimizer, step
         counter, scaler) and continues from the saved epoch — a true resume,
-        which the reference lacks (SURVEY.md §5 checkpoint/resume)."""
+        which the reference lacks (SURVEY.md §5 checkpoint/resume).
+        `early_stopping` = patience in epochs on the same SaveBest criterion
+        (the reference defines EarlyStopping, utils/utils.py:286-334, but
+        never wires it; here `--early_stopping N` makes it reachable)."""
         if not self._built:
             self.build()
         t = self.cfg.train
@@ -516,6 +520,7 @@ class Experiment:
         model_dir = os.path.join(store_dir, "model")
         os.makedirs(model_dir, exist_ok=True)
         save_best = SaveBest("sup")
+        stopper = EarlyStopping(early_stopping, "sup") if early_stopping is not None else None
         best_path = os.path.join(model_dir, "baseline_best")
         last_valid: Dict = {}
         start_epoch = 0
@@ -555,6 +560,13 @@ class Experiment:
                 "global_valid": global_valid,
                 "saved_best": is_best,
             })
+            if stopper is not None and stopper.apply(global_valid):
+                self.log.info(
+                    f"early stopping at epoch {epoch}: no improvement over "
+                    f"{stopper.best_val:.4f} (epoch {stopper.best_epoch}) for "
+                    f"{early_stopping} epochs"
+                )
+                break
         writer.close()
         if t.save_best and os.path.exists(best_path):
             self.state, meta = ckpt.restore_checkpoint(best_path, self.state)

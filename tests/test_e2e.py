@@ -408,3 +408,25 @@ def test_metrics_jsonl_history(tmp_path):
              resume_from=os.path.join(store, "model", "baseline_epoch_0"))
     recs = read_metrics(path)
     assert [r["epoch"] for r in recs] == [0, 1]
+
+
+def test_early_stopping_patience(tmp_path, monkeypatch):
+    """--early_stopping: run() breaks after `patience` non-improving epochs
+    on the SaveBest criterion (the reference defines EarlyStopping,
+    utils/utils.py:286-334, but never wires it)."""
+    from dcase2019_task4_tpu.utils.metrics_writer import read_metrics
+
+    exp = Experiment(
+        TINY_CFG, mean_teacher=True, subpart_data=12, synthetic_audio=True, seed=4
+    )
+    exp.build()
+    # pin validation so the criterion never improves after epoch 0
+    monkeypatch.setattr(
+        exp, "validate", lambda epoch: {"event_macro_f1": 0.0, "weak_macro_f1": 0.0}
+    )
+    store = str(tmp_path / "es_run")
+    exp.run(store_dir=store, n_epoch=10, early_stopping=1)
+    recs = read_metrics(os.path.join(store, "metrics.jsonl"))
+    # epoch 0 sets best=0.0 (sup: 0.0 is not > 0.0, so even epoch 0 counts as
+    # non-improving); patience 1 → stop at epoch 2
+    assert [r["epoch"] for r in recs] == [0, 1, 2]
