@@ -201,6 +201,17 @@ def evaluate(argv=None):
                         "(eval/thresholds.py; the reference accepts "
                         "class_threshold binarization but ships no tuner, "
                         "evaluation_measures.py:60-66).")
+    parser.add_argument("--save_thresholds", type=str, default=None,
+                        help="With --tune_thresholds: write the tuned "
+                        "per-class thresholds of the LAST set as "
+                        "{class: threshold} JSON (reusable via "
+                        "--thresholds_json).")
+    parser.add_argument("--threshold", type=float, default=0.5,
+                        help="Strong-decode binarization threshold.")
+    parser.add_argument("--thresholds_json", type=str, default=None,
+                        help="Per-class decode thresholds JSON ({class: th} "
+                        "dict or [C] list) — class_threshold mode, "
+                        "evaluation_measures.py:60-66. Overrides --threshold.")
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="Shard eval batches over all visible devices.")
     args = parser.parse_args(argv)
@@ -220,15 +231,23 @@ def evaluate(argv=None):
                                  mesh=mesh)
     paths = ev.cfg.paths
     sets = args.sets or [paths.eval2018, paths.validation, paths.eval_desed]
+    threshold = (
+        ev.load_thresholds(args.thresholds_json) if args.thresholds_json
+        else args.threshold
+    )
     results = {}
     for i, tsv in enumerate(sets):
         save = args.save_predictions_fname if i == len(sets) - 1 else None
-        results[tsv] = {
-            k: v for k, v in ev.test_model(
-                tsv, args.subpart_data, save, tune_thresholds=args.tune_thresholds
-            ).items()
-            if k != "predictions"
-        }
+        res = ev.test_model(
+            tsv, args.subpart_data, save,
+            tune_thresholds=args.tune_thresholds, threshold=threshold,
+        )
+        results[tsv] = {k: v for k, v in res.items() if k != "predictions"}
+        if args.save_thresholds and "tuned_thresholds" in res:
+            import json
+
+            with open(args.save_thresholds, "w") as f:
+                json.dump(dict(zip(ev.codec.labels, res["tuned_thresholds"])), f, indent=1)
     return results
 
 
@@ -246,6 +265,11 @@ def predict(argv=None):
     parser.add_argument("--weak_fname", type=str, default=None,
                         help="Also write clip-level tags (filename⇥event_labels).")
     parser.add_argument("--weak_threshold", type=float, default=0.5)
+    parser.add_argument("--threshold", type=float, default=0.5,
+                        help="Strong-decode binarization threshold.")
+    parser.add_argument("--thresholds_json", type=str, default=None,
+                        help="Per-class decode thresholds JSON (dict or "
+                        "[C] list). Overrides --threshold.")
     parser.add_argument("--synthetic_audio", action="store_true", default=False)
     parser.add_argument("--torch_checkpoint", action="store_true", default=False)
     parser.add_argument("--data_parallel", action="store_true", default=False)
@@ -264,9 +288,14 @@ def predict(argv=None):
     else:
         ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio,
                                  mesh=mesh)
+    threshold = (
+        ev.load_thresholds(args.thresholds_json) if args.thresholds_json
+        else args.threshold
+    )
     res = ev.predict_set(
         args.input, args.save_predictions_fname, subpart=args.subpart_data,
         weak_fname=args.weak_fname, weak_threshold=args.weak_threshold,
+        threshold=threshold,
     )
     return {k: v for k, v in res.items() if k != "predictions"}
 

@@ -118,10 +118,31 @@ class CheckpointEvaluator:
             self.cfg.dsp.hop_length, self.meta["pooling_time_ratio"],
         )
 
+    def load_thresholds(self, path: str) -> np.ndarray:
+        """Read a per-class decode threshold vector from JSON — either a
+        {class: threshold} dict (keys matched to the codec's label order;
+        the format --save_thresholds writes) or a bare [C] list."""
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        if isinstance(raw, dict):
+            missing = [c for c in self.codec.labels if c not in raw]
+            if missing:
+                raise ValueError(f"thresholds file {path} missing classes: {missing}")
+            return np.asarray([float(raw[c]) for c in self.codec.labels])
+        th = np.asarray(raw, dtype=np.float64)
+        if th.shape != (len(self.codec.labels),):
+            raise ValueError(
+                f"thresholds list has shape {th.shape}, expected ({len(self.codec.labels)},)"
+            )
+        return th
+
     def predict_set(self, source_path: str, save_predictions_fname: str,
                     subpart: Optional[int] = None,
                     weak_fname: Optional[str] = None,
-                    weak_threshold: float = 0.5) -> Dict:
+                    weak_threshold: float = 0.5,
+                    threshold=0.5) -> Dict:
         """Groundtruth-free batched inference (serving surface — goes beyond
         the reference, whose TestModel.py:25-62 always scores against labels).
 
@@ -131,6 +152,9 @@ class CheckpointEvaluator:
         (evaluation_measures.py:216-230) and, optionally, a weak clip-tagging
         TSV (`filename⇥event_labels`, classes whose attention-pooled
         probability clears `weak_threshold`, the reference's weak TSV schema).
+        `threshold` is the strong-decode binarization — a scalar or a
+        per-class [C] vector (class_threshold mode,
+        evaluation_measures.py:60-66; see load_thresholds).
         """
         import os
 
@@ -171,7 +195,7 @@ class CheckpointEvaluator:
                 decode_batch(
                     np.asarray(strong)[:nv], batch["filenames"], self.codec,
                     d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
-                    median_window=self.cfg.train.median_window,
+                    threshold=threshold, median_window=self.cfg.train.median_window,
                 )
             )
             if weak_fname:
@@ -193,7 +217,8 @@ class CheckpointEvaluator:
 
     def test_model(self, tsv_path: str, subpart: Optional[int] = None,
                    save_predictions_fname: Optional[str] = None,
-                   tune_thresholds: bool = False) -> Dict:
+                   tune_thresholds: bool = False,
+                   threshold=0.5) -> Dict:
         """Full evaluation of one TSV set (reference test_model,
         TestModel.py:25-62): strong decode + event/segment metrics + weak F1.
         `tune_thresholds` additionally grid-searches per-class weak
@@ -217,7 +242,7 @@ class CheckpointEvaluator:
                 decode_batch(
                     np.asarray(strong)[:nv], batch["filenames"], self.codec,
                     d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
-                    median_window=self.cfg.train.median_window,
+                    threshold=threshold, median_window=self.cfg.train.median_window,
                 )
             )
             acc.update(np.asarray(weak)[:nv], batch["target"][:nv])

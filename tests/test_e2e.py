@@ -430,3 +430,51 @@ def test_early_stopping_patience(tmp_path, monkeypatch):
     # epoch 0 sets best=0.0 (sup: 0.0 is not > 0.0, so even epoch 0 counts as
     # non-improving); patience 1 → stop at epoch 2
     assert [r["epoch"] for r in recs] == [0, 1, 2]
+
+
+def test_load_thresholds_validation(tmp_path):
+    """load_thresholds: dict keyed by class (order-independent), bare list,
+    and the two failure modes."""
+    import json
+    import types
+
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+
+    labels = [f"c{i}" for i in range(4)]
+    ns = types.SimpleNamespace(codec=types.SimpleNamespace(labels=labels))
+    p = tmp_path / "th.json"
+
+    p.write_text(json.dumps({"c2": 0.3, "c0": 0.1, "c1": 0.2, "c3": 0.4}))
+    th = CheckpointEvaluator.load_thresholds(ns, str(p))
+    assert th.tolist() == [0.1, 0.2, 0.3, 0.4]
+
+    p.write_text(json.dumps([0.5, 0.6, 0.7, 0.8]))
+    assert CheckpointEvaluator.load_thresholds(ns, str(p)).tolist() == [0.5, 0.6, 0.7, 0.8]
+
+    p.write_text(json.dumps({"c0": 0.1}))
+    with pytest.raises(ValueError, match="missing classes"):
+        CheckpointEvaluator.load_thresholds(ns, str(p))
+    p.write_text(json.dumps([0.5, 0.6]))
+    with pytest.raises(ValueError, match="shape"):
+        CheckpointEvaluator.load_thresholds(ns, str(p))
+
+
+def test_tune_save_reuse_thresholds_cli(tmp_path, tiny_exp):
+    """evaluate --tune_thresholds --save_thresholds writes {class: th} JSON;
+    a second evaluate --thresholds_json consumes it for per-class decode."""
+    import json
+
+    from dcase2019_task4_tpu import cli
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    path = str(tmp_path / "ckpt_th")
+    ckpt.save_checkpoint(path, tiny_exp.state, tiny_exp.checkpoint_metadata(0, {}))
+    th_json = str(tmp_path / "tuned.json")
+    tsv = tiny_exp.cfg.paths.validation
+    cli.evaluate(["-m", path, "--synthetic_audio", "-s", "6", "--sets", tsv,
+                  "--tune_thresholds", "--save_thresholds", th_json])
+    tuned = json.load(open(th_json))
+    assert sorted(tuned) == sorted(tiny_exp.classes)
+    res = cli.evaluate(["-m", path, "--synthetic_audio", "-s", "6", "--sets", tsv,
+                        "--thresholds_json", th_json])
+    assert 0.0 <= res[tsv]["event_macro_f1"] <= 1.0
