@@ -271,6 +271,13 @@ def predict(argv=None):
                         help="Per-class decode thresholds JSON (dict or "
                         "[C] list). Overrides --threshold.")
     parser.add_argument("--synthetic_audio", action="store_true", default=False)
+    parser.add_argument("--long", action="store_true", default=False,
+                        help="Arbitrary-length wavs: window into 10 s chunks "
+                        "(static shapes), decode per window, stitch events "
+                        "across boundaries. The reference truncates at 10 s.")
+    parser.add_argument("--merge_gap", type=float, default=0.2,
+                        help="With --long: stitch same-class events whose "
+                        "boundary gap is at most this many seconds.")
     parser.add_argument("--torch_checkpoint", action="store_true", default=False)
     parser.add_argument("--data_parallel", action="store_true", default=False)
     args = parser.parse_args(argv)
@@ -292,11 +299,19 @@ def predict(argv=None):
         ev.load_thresholds(args.thresholds_json) if args.thresholds_json
         else args.threshold
     )
-    res = ev.predict_set(
-        args.input, args.save_predictions_fname, subpart=args.subpart_data,
-        weak_fname=args.weak_fname, weak_threshold=args.weak_threshold,
-        threshold=threshold,
-    )
+    if args.long:
+        if args.weak_fname:
+            parser.error("--weak_fname is per-clip; not defined under --long")
+        res = ev.predict_long(
+            args.input, args.save_predictions_fname, subpart=args.subpart_data,
+            threshold=threshold, merge_gap=args.merge_gap,
+        )
+    else:
+        res = ev.predict_set(
+            args.input, args.save_predictions_fname, subpart=args.subpart_data,
+            weak_fname=args.weak_fname, weak_threshold=args.weak_threshold,
+            threshold=threshold,
+        )
     return {k: v for k, v in res.items() if k != "predictions"}
 
 

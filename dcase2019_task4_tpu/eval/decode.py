@@ -87,3 +87,32 @@ def decode_batch(
     return grids_to_dataframe(
         grids, filenames, codec, sample_rate, hop_length, pooling_time_ratio
     )
+
+
+def merge_window_events(df: pd.DataFrame, merge_gap: float = 0.2) -> pd.DataFrame:
+    """Stitch per-window events into file-level events (long-audio decode).
+
+    Rows are (event_label, onset, offset, filename) with onsets/offsets
+    already in absolute file seconds. Within each (filename, class), events
+    sorted by onset are merged while the next onset is within `merge_gap`
+    seconds of the running offset — windows are decoded independently, so an
+    event crossing a window boundary arrives as two abutting fragments. No
+    reference twin: the reference truncates all audio to max_frames
+    (DataLoad.py:210-259) and cannot see past 10 s."""
+    if df.empty:
+        return df.copy()
+    rows = []
+    for (fname, label), g in df.groupby(["filename", "event_label"], sort=False):
+        g = g.sort_values("onset")
+        cur_on, cur_off = None, None
+        for row in g.itertuples(index=False):
+            if cur_on is None:
+                cur_on, cur_off = row.onset, row.offset
+            elif row.onset <= cur_off + merge_gap:
+                cur_off = max(cur_off, row.offset)
+            else:
+                rows.append((label, cur_on, cur_off, fname))
+                cur_on, cur_off = row.onset, row.offset
+        rows.append((label, cur_on, cur_off, fname))
+    out = pd.DataFrame(rows, columns=["event_label", "onset", "offset", "filename"])
+    return out.sort_values(["filename", "onset", "event_label"]).reset_index(drop=True)

@@ -215,6 +215,108 @@ class CheckpointEvaluator:
             self.log.info(f"Saving weak tags at: {weak_fname}")
         return {"predictions": predictions, "n_files": len(stream)}
 
+    def predict_long(self, source_path: str, save_predictions_fname: str,
+                     subpart: Optional[int] = None,
+                     threshold=0.5, merge_gap: float = 0.2,
+                     clamp_to_duration: bool = True) -> Dict:
+        """Arbitrary-length wav inference (long-audio serving surface).
+
+        The reference truncates every clip to max_frames before the model
+        (PadOrTrunc, DataLoad.py:210-259) — audio past 10 s is silently
+        dropped. Here each file is cut into the model's native
+        `max_len_seconds` windows (static shapes, so one compiled program
+        serves any duration), windows are batched across files, decoded
+        independently, events are shifted by their window start, and
+        same-class fragments abutting a window boundary are stitched
+        (`merge_gap` seconds; eval/decode.merge_window_events). With
+        `clamp_to_duration`, events are cut at the true file length (the
+        last window is zero-padded past it).
+        """
+        import os
+
+        import pandas as pd
+
+        from dcase2019_task4_tpu.data.manifests import Manifest, load_manifest
+        from dcase2019_task4_tpu.data.pipeline import quantize_audio_int16
+        from dcase2019_task4_tpu.eval.decode import merge_window_events
+        from dcase2019_task4_tpu.ops.mel import host_reflect_pad
+
+        d = self.cfg.dsp
+        if os.path.isdir(source_path):
+            names = sorted(
+                f for f in os.listdir(source_path) if f.lower().endswith(".wav")
+            )
+            manifest = Manifest(
+                kind="unlabeled", filenames=names, df=pd.DataFrame({"filename": names})
+            )
+            audio_dir = source_path
+        else:
+            manifest = load_manifest(source_path)
+            audio_dir = self.cfg.paths.audio_dir_for_meta(source_path)
+        manifest = subpart_manifest(manifest, subpart)
+        if self.synthetic_audio:
+            src = SyntheticAudioSource(manifest, self.codec.labels, d.sample_rate,
+                                       d.max_len_seconds)
+        else:
+            src = WavAudioSource(audio_dir, d.sample_rate)
+
+        window = d.max_samples
+        win_sec = window / d.sample_rate
+        # (filename, window_start_sec, duration_sec, window_audio)
+        jobs = []
+        durations = {}
+        for fname in manifest.filenames:
+            audio = np.asarray(src.get_audio(fname), dtype=np.float32)
+            durations[fname] = len(audio) / d.sample_rate
+            n_win = max(1, -(-len(audio) // window))
+            for w in range(n_win):
+                jobs.append((fname, w * win_sec, audio[w * window:(w + 1) * window]))
+
+        B = self.cfg.train.batch_size
+        params, bn = self.state.params, self.state.bn_state
+        dfs = []
+        for start in range(0, len(jobs), B):
+            chunk = jobs[start:start + B]
+            n_valid = len(chunk)
+            while len(chunk) < B:  # pad tail batch (sliced off below)
+                chunk.append(chunk[-1])
+            padded, frames = host_reflect_pad(
+                [c[2] for c in chunk], window, d.n_window, d.hop_length, d.max_frames
+            )
+            x = self.eval_features(quantize_audio_int16(padded), frames)
+            strong, _ = self.predict(params, bn, x)
+            # composite row keys keep same-file windows apart through decode
+            keys = [f"{i}\x00{c[0]}" for i, c in enumerate(chunk)]
+            df = decode_batch(
+                np.asarray(strong)[:n_valid], keys[:n_valid], self.codec,
+                d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
+                threshold=threshold, median_window=self.cfg.train.median_window,
+            )
+            if not df.empty:
+                idx = df["filename"].str.split("\x00", n=1)
+                offsets = np.asarray([chunk[int(i[0])][1] for i in idx])
+                df["filename"] = [i[1] for i in idx]
+                df["onset"] = df["onset"] + offsets
+                df["offset"] = df["offset"] + offsets
+            dfs.append(df)
+        predictions = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
+            columns=["event_label", "onset", "offset", "filename"]
+        )
+        predictions = merge_window_events(predictions, merge_gap)
+        if clamp_to_duration and not predictions.empty:
+            dur = predictions["filename"].map(durations)
+            predictions = predictions[predictions["onset"] < dur].copy()
+            predictions["offset"] = np.minimum(
+                predictions["offset"], dur[predictions.index]
+            )
+        self.log.info(f"Saving predictions at: {save_predictions_fname}")
+        predictions_to_tsv(predictions, save_predictions_fname)
+        return {
+            "predictions": predictions,
+            "n_files": len(manifest.filenames),
+            "n_windows": len(jobs),
+        }
+
     def test_model(self, tsv_path: str, subpart: Optional[int] = None,
                    save_predictions_fname: Optional[str] = None,
                    tune_thresholds: bool = False,

@@ -478,3 +478,74 @@ def test_tune_save_reuse_thresholds_cli(tmp_path, tiny_exp):
     res = cli.evaluate(["-m", path, "--synthetic_audio", "-s", "6", "--sets", tsv,
                         "--thresholds_json", th_json])
     assert 0.0 <= res[tsv]["event_macro_f1"] <= 1.0
+
+
+def test_merge_window_events():
+    import pandas as pd
+
+    from dcase2019_task4_tpu.eval.decode import merge_window_events
+
+    df = pd.DataFrame(
+        [
+            # abutting fragments across a window boundary -> merged
+            ("Dog", 8.0, 10.01, "a.wav"),
+            ("Dog", 10.0, 12.0, "a.wav"),
+            # gap 0.15 <= merge_gap 0.2 -> merged
+            ("Dog", 14.0, 15.0, "a.wav"),
+            ("Dog", 15.15, 16.0, "a.wav"),
+            # gap 0.5 > merge_gap -> kept separate
+            ("Dog", 20.0, 21.0, "a.wav"),
+            # different class / file never merge
+            ("Cat", 9.9, 10.0, "a.wav"),
+            ("Dog", 9.9, 10.05, "b.wav"),
+        ],
+        columns=["event_label", "onset", "offset", "filename"],
+    )
+    out = merge_window_events(df, merge_gap=0.2)
+    a_dog = out[(out.filename == "a.wav") & (out.event_label == "Dog")]
+    assert [(round(r.onset, 2), round(r.offset, 2)) for r in a_dog.itertuples()] == [
+        (8.0, 12.0), (14.0, 16.0), (20.0, 21.0)
+    ]
+    assert len(out[(out.filename == "a.wav") & (out.event_label == "Cat")]) == 1
+    assert len(out[out.filename == "b.wav"]) == 1
+    assert merge_window_events(df.iloc[:0]).empty
+
+
+def test_predict_long_windows_and_stitch(tmp_path, tiny_exp):
+    """--long: a 2.5-window wav is cut into 3 static windows; with an
+    always-on threshold every class decodes to one stitched event spanning
+    the full (clamped) duration — proving window offsets, boundary merge,
+    and duration clamping."""
+    from scipy.io import wavfile
+
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    d = TINY_CFG.dsp  # max_len 1.0 s windows in the tiny config
+    dur = 2.5 * d.max_len_seconds
+    n = int(dur * d.sample_rate)
+    t = np.arange(n) / d.sample_rate
+    wav_dir = tmp_path / "long_wavs"
+    wav_dir.mkdir()
+    wavfile.write(
+        str(wav_dir / "long.wav"), d.sample_rate,
+        (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16),
+    )
+
+    path = str(tmp_path / "ckpt_long")
+    ckpt.save_checkpoint(path, tiny_exp.state, tiny_exp.checkpoint_metadata(0, {}))
+    ev = CheckpointEvaluator(path)
+    out_tsv = str(tmp_path / "long_pred.tsv")
+    res = ev.predict_long(str(wav_dir), out_tsv, threshold=-1.0)
+    assert res["n_files"] == 1 and res["n_windows"] == 3
+    pred = res["predictions"]
+    # every class fires everywhere -> exactly one stitched event per class,
+    # clamped to the true 2.5 s duration (not the 3-window 3 s span)
+    assert len(pred) == len(tiny_exp.classes)
+    assert (pred["onset"] == 0.0).all()
+    assert pred["offset"].max() == pytest.approx(dur, abs=1e-6)
+    assert (pred["offset"] > d.max_len_seconds).all()  # crosses window 1
+    import pandas as pd
+
+    on_disk = pd.read_csv(out_tsv, sep="\t")
+    assert len(on_disk) == len(pred)
