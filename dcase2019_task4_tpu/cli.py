@@ -278,6 +278,11 @@ def predict(argv=None):
     parser.add_argument("--merge_gap", type=float, default=0.2,
                         help="With --long: stitch same-class events whose "
                         "boundary gap is at most this many seconds.")
+    parser.add_argument("--overlap", action="store_true", default=False,
+                        help="With --long: half-window hop, probabilities "
+                        "averaged in overlaps, one decode per file over the "
+                        "assembled timeline (median runs across window "
+                        "boundaries; no stitching).")
     parser.add_argument("--torch_checkpoint", action="store_true", default=False)
     parser.add_argument("--data_parallel", action="store_true", default=False)
     args = parser.parse_args(argv)
@@ -304,7 +309,7 @@ def predict(argv=None):
             parser.error("--weak_fname is per-clip; not defined under --long")
         res = ev.predict_long(
             args.input, args.save_predictions_fname, subpart=args.subpart_data,
-            threshold=threshold, merge_gap=args.merge_gap,
+            threshold=threshold, merge_gap=args.merge_gap, overlap=args.overlap,
         )
     else:
         res = ev.predict_set(

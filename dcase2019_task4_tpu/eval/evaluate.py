@@ -218,7 +218,8 @@ class CheckpointEvaluator:
     def predict_long(self, source_path: str, save_predictions_fname: str,
                      subpart: Optional[int] = None,
                      threshold=0.5, merge_gap: float = 0.2,
-                     clamp_to_duration: bool = True) -> Dict:
+                     clamp_to_duration: bool = True,
+                     overlap: bool = False) -> Dict:
         """Arbitrary-length wav inference (long-audio serving surface).
 
         The reference truncates every clip to max_frames before the model
@@ -231,6 +232,13 @@ class CheckpointEvaluator:
         (`merge_gap` seconds; eval/decode.merge_window_events). With
         `clamp_to_duration`, events are cut at the true file length (the
         last window is zero-padded past it).
+
+        `overlap` is the higher-quality mode: windows advance by HALF a
+        window (starts aligned to the pooled-frame grid), per-frame class
+        probabilities are averaged where windows overlap, and each file is
+        decoded ONCE over its assembled full-length probability timeline —
+        the median filter then runs across window boundaries and no
+        fragment stitching is needed (merge_gap is ignored).
         """
         import os
 
@@ -261,35 +269,51 @@ class CheckpointEvaluator:
             src = WavAudioSource(audio_dir, d.sample_rate)
 
         window = d.max_samples
-        win_sec = window / d.sample_rate
-        # (filename, window_start_sec, duration_sec, window_audio)
+        ptr = self.meta["pooling_time_ratio"]
+        frame_samples = d.hop_length * ptr       # samples per pooled output frame
+        win_frames = d.max_frames // ptr         # pooled frames per window
+        if overlap:
+            # half-window hop, snapped to the pooled-frame grid so window
+            # outputs land on integer frame offsets of the file timeline
+            hop_samples = max(1, win_frames // 2) * frame_samples
+        else:
+            hop_samples = window
+        # (filename, window_start_sec, window_start_pooled_frame, audio)
         jobs = []
         durations = {}
         for fname in manifest.filenames:
             audio = np.asarray(src.get_audio(fname), dtype=np.float32)
             durations[fname] = len(audio) / d.sample_rate
-            n_win = max(1, -(-len(audio) // window))
+            n_win = 1 + max(0, -(-(len(audio) - window) // hop_samples))
             for w in range(n_win):
-                jobs.append((fname, w * win_sec, audio[w * window:(w + 1) * window]))
+                s0 = w * hop_samples
+                jobs.append((fname, s0 / d.sample_rate, s0 // frame_samples,
+                             audio[s0:s0 + window]))
 
         B = self.cfg.train.batch_size
         params, bn = self.state.params, self.state.bn_state
         dfs = []
+        probs_by_file: Dict[str, list] = {}
         for start in range(0, len(jobs), B):
             chunk = jobs[start:start + B]
             n_valid = len(chunk)
             while len(chunk) < B:  # pad tail batch (sliced off below)
                 chunk.append(chunk[-1])
             padded, frames = host_reflect_pad(
-                [c[2] for c in chunk], window, d.n_window, d.hop_length, d.max_frames
+                [c[3] for c in chunk], window, d.n_window, d.hop_length, d.max_frames
             )
             x = self.eval_features(quantize_audio_int16(padded), frames)
             strong, _ = self.predict(params, bn, x)
+            strong = np.asarray(strong)[:n_valid]
+            if overlap:
+                for (fname, _, sf, _), p in zip(chunk[:n_valid], strong):
+                    probs_by_file.setdefault(fname, []).append((int(sf), p))
+                continue
             # composite row keys keep same-file windows apart through decode
             keys = [f"{i}\x00{c[0]}" for i, c in enumerate(chunk)]
             df = decode_batch(
-                np.asarray(strong)[:n_valid], keys[:n_valid], self.codec,
-                d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
+                strong, keys[:n_valid], self.codec,
+                d.sample_rate, d.hop_length, ptr,
                 threshold=threshold, median_window=self.cfg.train.median_window,
             )
             if not df.empty:
@@ -299,10 +323,34 @@ class CheckpointEvaluator:
                 df["onset"] = df["onset"] + offsets
                 df["offset"] = df["offset"] + offsets
             dfs.append(df)
+        if overlap:
+            from scipy.ndimage import median_filter
+
+            from dcase2019_task4_tpu.eval.decode import grids_to_dataframe
+
+            th = np.asarray(threshold)
+            for fname in manifest.filenames:
+                entries = probs_by_file.get(fname, [])
+                if not entries:
+                    continue
+                Tn = max(sf for sf, _ in entries) + win_frames
+                buf = np.zeros((Tn, len(self.codec.labels)), dtype=np.float64)
+                cnt = np.zeros((Tn, 1), dtype=np.float64)
+                for sf, p in entries:
+                    buf[sf:sf + win_frames] += p
+                    cnt[sf:sf + win_frames] += 1.0
+                avg = buf / np.maximum(cnt, 1.0)
+                binary = (avg > th).astype(np.float32)
+                med = median_filter(binary, size=(self.cfg.train.median_window, 1))
+                dfs.append(grids_to_dataframe(
+                    med[None], [fname], self.codec,
+                    d.sample_rate, d.hop_length, ptr,
+                ))
         predictions = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
             columns=["event_label", "onset", "offset", "filename"]
         )
-        predictions = merge_window_events(predictions, merge_gap)
+        if not overlap:
+            predictions = merge_window_events(predictions, merge_gap)
         if clamp_to_duration and not predictions.empty:
             dur = predictions["filename"].map(durations)
             predictions = predictions[predictions["onset"] < dur].copy()

@@ -549,3 +549,36 @@ def test_predict_long_windows_and_stitch(tmp_path, tiny_exp):
 
     on_disk = pd.read_csv(out_tsv, sep="\t")
     assert len(on_disk) == len(pred)
+
+
+def test_predict_long_overlap_timeline(tmp_path, tiny_exp):
+    """--long --overlap: half-window hop on the pooled-frame grid,
+    probability-averaged timeline, single decode per file."""
+    from scipy.io import wavfile
+
+    from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    d = TINY_CFG.dsp
+    dur = 2.5 * d.max_len_seconds
+    n = int(dur * d.sample_rate)
+    t = np.arange(n) / d.sample_rate
+    wav_dir = tmp_path / "ol_wavs"
+    wav_dir.mkdir()
+    wavfile.write(
+        str(wav_dir / "ol.wav"), d.sample_rate,
+        (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16),
+    )
+    path = str(tmp_path / "ckpt_ol")
+    ckpt.save_checkpoint(path, tiny_exp.state, tiny_exp.checkpoint_metadata(0, {}))
+    ev = CheckpointEvaluator(path)
+    res = ev.predict_long(str(wav_dir), str(tmp_path / "ol.tsv"),
+                          threshold=-1.0, overlap=True)
+    # half-window hop covers 2.5 windows with more windows than the
+    # non-overlapping cut (which uses 3)
+    assert res["n_windows"] > 3
+    pred = res["predictions"]
+    # always-on threshold -> one timeline event per class over the clamped file
+    assert len(pred) == len(tiny_exp.classes)
+    assert (pred["onset"] == 0.0).all()
+    assert pred["offset"].max() == pytest.approx(dur, abs=1e-6)
