@@ -52,6 +52,64 @@ def test_atomic_replace(tmp_path):
     assert ckpt.read_metadata(p)["epoch"] == 2
 
 
+def test_new_checkpoints_are_npz_not_pickle(tmp_path):
+    """The default format must load with allow_pickle=False — restoring an
+    untrusted checkpoint must not be able to execute code (unlike pickle
+    and the reference's torch.load, main.py:293-309)."""
+    _, _, state = _state(0)
+    p = str(tmp_path / "ck")
+    ckpt.save_checkpoint(p, state, {"epoch": 4})
+    with open(p, "rb") as f:
+        assert f.read(2) == b"PK"  # zip (npz), not a pickle opcode stream
+    with np.load(p, allow_pickle=False) as z:  # must not raise
+        assert "__meta__" in z.files
+
+
+def test_legacy_pickle_checkpoint_still_restores(tmp_path):
+    """Round-1/2 checkpoints were pickles; the reader keeps supporting them."""
+    import pickle
+
+    _, _, state = _state(0)
+    leaves = [np.asarray(l) for l in jax.tree.leaves(state)]
+    p = str(tmp_path / "ck_v1")
+    with open(p, "wb") as f:
+        pickle.dump({"version": 1, "leaves": leaves, "metadata": {"epoch": 9}}, f)
+    _, _, template = _state(seed=42)
+    restored, meta = ckpt.restore_checkpoint(p, template)
+    assert meta["epoch"] == 9
+    assert ckpt.read_metadata(p)["epoch"] == 9
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bfloat16_leaves_roundtrip(tmp_path):
+    """bfloat16 isn't a native numpy dtype; the npz writer bit-casts it to
+    uint16 and the reader re-views — values must be bit-exact."""
+    import jax.numpy as jnp
+
+    tree = {"w": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3) / 3,
+            "b": jnp.ones((4,), jnp.float32),
+            "step": jnp.asarray(5, jnp.int32)}
+    p = str(tmp_path / "ck_bf16")
+    ckpt.save_checkpoint(p, tree, {"epoch": 0})
+    template = jax.tree.map(jnp.zeros_like, tree)
+    restored, _ = ckpt.restore_checkpoint(p, template)
+    assert restored["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(tree["w"]).view(np.uint16),
+        np.asarray(restored["w"]).view(np.uint16))
+    np.testing.assert_array_equal(np.asarray(tree["b"]), np.asarray(restored["b"]))
+
+
+def test_metadata_numpy_scalars_are_jsonable(tmp_path):
+    """valid_metric values arrive as numpy floats; the writer must coerce."""
+    _, _, state = _state(0)
+    p = str(tmp_path / "ck_np")
+    ckpt.save_checkpoint(p, state, {"f1": np.float32(0.5), "arr": np.arange(3)})
+    meta = ckpt.read_metadata(p)
+    assert meta["f1"] == 0.5 and meta["arr"] == [0, 1, 2]
+
+
 def test_config_to_dict_roundtrips_dataclasses():
     from dcase2019_task4_tpu.config import Config
 
