@@ -303,18 +303,34 @@ class Experiment:
             spec_augment_cfg=sa_cfg,
             mesh=self.mesh,
         )
-        # eval/validation also shards over the mesh (shard_map — the Pallas
+        # eval/validation also shards over a mesh (shard_map — the Pallas
         # kernels have no GSPMD partitioning rules, a plain jit would gather
-        # onto one device). Single-process only: multi-host eval would need
-        # global-array assembly of eval batches; each host evaluating the
-        # full set redundantly is the multi-host behavior today.
+        # onto one device). Single-process: the training mesh. Multi-host:
+        # eval batches are host-LOCAL numpy (each host scores its own
+        # round-robin file shard, see above), so shard them over a local
+        # mesh of this host's addressable devices — work divides by
+        # (hosts × local devices), i.e. the total device count, and the
+        # additive count merge keeps the metrics exact (eval-mode BN has no
+        # cross-shard statistics).
         eval_mesh = None
-        if (
-            self.mesh is not None
-            and self.process_count == 1
-            and self.pipeline.batch_size % self.mesh.devices.size == 0
-        ):
-            eval_mesh = self.mesh
+        if self.mesh is not None:
+            eval_devices = (
+                self.mesh.devices.ravel()
+                if self.process_count == 1
+                else jax.local_devices()
+            )
+            if (
+                len(eval_devices) > 1
+                and self.pipeline.batch_size % len(eval_devices) == 0
+            ):
+                from dcase2019_task4_tpu.parallel.mesh import make_mesh
+
+                eval_mesh = (
+                    self.mesh
+                    if self.process_count == 1
+                    else make_mesh(eval_devices)
+                )
+        self.eval_mesh = eval_mesh
         self.eval_features = make_eval_features(self.frontend, mean, std,
                                                 mesh=eval_mesh)
         self.predict_step = make_predict_step(self.model, mesh=eval_mesh)
@@ -371,6 +387,26 @@ class Experiment:
 
     # ---------------------------------------------------------- validate
 
+    def _eval_params(self):
+        """(params, bn_state) homed where the eval steps run. Multi-host:
+        train state is replicated over the GLOBAL mesh but eval shards over
+        this host's LOCAL mesh — jit refuses mixed device sets, so re-home
+        one replicated copy onto the local devices (fully-replicated
+        arrays are locally addressable: np.asarray is a local read, no
+        cross-host traffic; refreshed only when the train state changes)."""
+        params, bn = self.state.params, self.state.bn_state
+        if self.eval_mesh is not None and self.eval_mesh is not self.mesh:
+            if getattr(self, "_eval_params_for", None) is not id(self.state):
+                from dcase2019_task4_tpu.parallel.mesh import replicated
+
+                rep = replicated(self.eval_mesh)
+                self._eval_params_cache = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x), rep), (params, bn)
+                )
+                self._eval_params_for = id(self.state)
+            params, bn = self._eval_params_cache
+        return params, bn
+
     def predict_dataframe(self, stream: Stream, save_predictions: Optional[str] = None):
         """Batched inference + vectorized decode over a stream → prediction
         dataframe in seconds (replaces get_predictions,
@@ -379,7 +415,7 @@ class Experiment:
 
         d = self.cfg.dsp
         dfs = []
-        params, bn = self.state.params, self.state.bn_state
+        params, bn = self._eval_params()
         for batch in iter_eval_batches(
             stream, self.pipeline.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
         ):
@@ -411,7 +447,7 @@ class Experiment:
 
         d = self.cfg.dsp
         acc = TaggingF1(len(self.classes))
-        params, bn = self.state.params, self.state.bn_state
+        params, bn = self._eval_params()
         for batch in iter_eval_batches(
             stream, self.pipeline.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
         ):

@@ -47,6 +47,12 @@ exp = Experiment(cfg, mean_teacher=True, subpart_data=24, synthetic_audio=True,
                  seed=0, mesh=make_mesh())
 exp.build()
 assert exp.process_count == nprocs, (exp.process_count, nprocs)
+# multi-host eval must shard over this host's LOCAL devices (the global
+# mesh can't consume host-local numpy batches); grab the mesh the built
+# steps actually closed over for the test's assertion
+eval_mesh_devices = 0
+if getattr(exp, "eval_mesh", None) is not None:
+    eval_mesh_devices = int(exp.eval_mesh.devices.size)
 meters = exp.train_epoch(0)
 metrics = exp.validate(0)
 out = {
@@ -57,6 +63,8 @@ out = {
     "event_macro_f1": float(metrics["event_macro_f1"]),
     "weak_macro_f1": float(metrics["weak_macro_f1"]),
     "n_valid_files_local": len(exp.valid_synth_stream.filenames),
+    "eval_mesh_devices": eval_mesh_devices,
+    "n_local_devices": len(jax.local_devices()),
 }
 with open(out_path, "w") as f:
     json.dump(out, f)

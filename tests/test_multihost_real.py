@@ -61,6 +61,11 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     assert h0["n_valid_files_local"] + h1["n_valid_files_local"] \
         == single["n_valid_files_local"]
     assert 0 < h0["n_valid_files_local"] < single["n_valid_files_local"]
+    # ... AND each host's eval sharded over its LOCAL device mesh (VERDICT
+    # r2 item 4: eval wall-clock scales with hosts × local devices, not
+    # hosts) — with the merged metrics still exact below
+    assert h0["eval_mesh_devices"] == h0["n_local_devices"] == 2
+    assert h1["eval_mesh_devices"] == 2
     # per-host shard feeding reassembles the single-process global batch:
     # identical training, identical merged metrics
     assert h0["loss"] == pytest.approx(single["loss"], rel=1e-5)
