@@ -40,6 +40,7 @@ and correctness tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -47,6 +48,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Backward variant A/B (PERF.md next-levers #2): 1 → the fixup pass
+# recomputes dxn from y/dout instead of reading the materialized
+# dy_partial tensor (skips a 2·|y| HBM round-trip for ~1 pass of VPU
+# recompute). Trace-time constant; flip the default once v5e numbers land.
+_RECOMPUTE_FIXUP = os.environ.get("DCASE_FUSED_BWD_RECOMPUTE", "0") == "1"
 
 
 # ------------------------------------------------------------- jnp twin
@@ -254,8 +261,9 @@ def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep,
 
 def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
                        var_ref, w_ref, b_ref, bm_ref,
-                       dw_ref, db_ref, s1_ref, s2_ref, dyp_ref,
-                       *, tt, F2, L, k, C, pool, rate, eps, nt, train, lp, interp=False):
+                       dw_ref, db_ref, s1_ref, s2_ref, *maybe_dyp,
+                       tt, F2, L, k, C, pool, rate, eps, nt, train, lp,
+                       interp=False, write_dyp=True):
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -286,9 +294,11 @@ def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
     db_ref[:] += jnp.sum(dlin, axis=0)
     s1_ref[:] += jnp.sum(dxn, axis=0)
     s2_ref[:] += jnp.sum(dxn * xhat, axis=0)
-    # the per-element part of the BN backward; pass 2 subtracts the global
-    # through-statistics terms once S1/S2 are known
-    dyp_ref[0] = (inv * scale_ref[:] * dxn).reshape(tt, F2, L).astype(dyp_ref.dtype)
+    if write_dyp:
+        # the per-element part of the BN backward; pass 2 subtracts the
+        # global through-statistics terms once S1/S2 are known
+        dyp_ref, = maybe_dyp
+        dyp_ref[0] = (inv * scale_ref[:] * dxn).reshape(tt, F2, L).astype(dyp_ref.dtype)
 
 
 def _bwd_fixup_kernel(y_ref, dyp_ref, a_ref, b2_ref, mean_ref, dy_ref, *, tt, F2, L):
@@ -297,6 +307,30 @@ def _bwd_fixup_kernel(y_ref, dyp_ref, a_ref, b2_ref, mean_ref, dy_ref, *, tt, F2
     y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
     dyp = dyp_ref[0].reshape(tt * F2, L).astype(jnp.float32)
     dy = dyp - a_ref[:] - (y - mean_ref[:]) * b2_ref[:]
+    dy_ref[0] = dy.reshape(tt, F2, L).astype(dy_ref.dtype)
+
+
+def _bwd_fixup_recompute_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref,
+                                mean_ref, var_ref, w_ref, b_ref, bm_ref,
+                                a_ref, b2_ref, dy_ref,
+                                *, tt, F2, L, k, C, pool, rate, eps, nt, train,
+                                lp, interp=False):
+    """Fixup WITHOUT the dy_partial tensor (PERF.md next-levers #2): rebuild
+    dxn from y/dout exactly as the reduce pass did (same per-tile dropout
+    seed → bit-identical mask) and finish
+      dy = inv·γ·dxn − a − (y − mean)·b
+    in-register. Trades ~1 pass of VPU recompute for the 2·|y| HBM
+    round-trip (write+read of dy_partial ≈ 1.36 GB/model at B=96); also
+    slightly MORE accurate: dy never round-trips through y.dtype."""
+    y = y_ref[0].reshape(tt * F2, L).astype(jnp.float32)
+    dout_up = _upsample_mxu(dout_ref[0], bm_ref[:], L, k, C, pool, lp, tt, F2)
+    _, _, dxn = _recompute_dxn(
+        y, dout_up, scale_ref[:], bias_ref[:], mean_ref[:], var_ref[:],
+        w_ref[:], b_ref[:], eps, rate, 1.0 - rate, _seed_for(seed_ref, nt),
+        (tt * F2, L), train, lp, interp,
+    )
+    inv = jax.lax.rsqrt(var_ref[:] + eps)
+    dy = inv * scale_ref[:] * dxn - a_ref[:] - (y - mean_ref[:]) * b2_ref[:]
     dy_ref[0] = dy.reshape(tt, F2, L).astype(dy_ref.dtype)
 
 
@@ -388,6 +422,7 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
     B, T, F, C, k, F2, L, tt = _geom(y.shape, pool)
     grid, nt, in_specs, _ = _specs(tt, F2, L, pool, B, T, k, C)
     pt, pf = pool
+    recompute = _RECOMPUTE_FIXUP
     dout_spec = pl.BlockSpec(
         (1, tt // pt, F // pf, C), lambda b, t, *_: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -399,30 +434,35 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
         pl.BlockSpec((L,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((L,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((L,), lambda b, t, *_: (0,), memory_space=pltpu.VMEM),
-        big_spec,  # dy_partial
     ]
+    reduce_out_shapes = [
+        jax.ShapeDtypeStruct((L, L), jnp.float32),
+        jax.ShapeDtypeStruct((L,), jnp.float32),
+        jax.ShapeDtypeStruct((L,), jnp.float32),
+        jax.ShapeDtypeStruct((L,), jnp.float32),
+    ]
+    if not recompute:
+        reduce_out_specs.append(big_spec)  # dy_partial
+        reduce_out_shapes.append(jax.ShapeDtypeStruct((B, T, F2, L), y.dtype))
     lp = y.dtype == jnp.bfloat16
     reduce_kernel = functools.partial(
         _bwd_reduce_kernel, tt=tt, F2=F2, L=L, k=k, C=C, pool=pool, rate=rate,
         eps=eps, nt=nt, train=train, lp=lp, interp=bool(interpret),
+        write_dyp=not recompute,
     )
     args = _packed_args(y, scale, bias, mean, var, glu_w, glu_b, k, F2, L)
     bm = jnp.asarray(_freq_matrix(tt, F2, pt, pf // k).T)  # freq-upsample orientation
-    dwL, dbL, s1L, s2L, dyp = pl.pallas_call(
+    reduce_outs = pl.pallas_call(
         reduce_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=reduce_in, out_specs=reduce_out_specs
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((L, L), jnp.float32),
-            jax.ShapeDtypeStruct((L,), jnp.float32),
-            jax.ShapeDtypeStruct((L,), jnp.float32),
-            jax.ShapeDtypeStruct((L,), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, F2, L), y.dtype),
-        ],
+        out_shape=reduce_out_shapes,
         compiler_params=None if interpret else _params(),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), args[0], dout, *args[1:], bm)
+    dwL, dbL, s1L, s2L = reduce_outs[:4]
+    dyp = reduce_outs[4] if not recompute else None
 
     # fold per-lane partial sums to per-channel totals, then precompute the
     # global through-statistics coefficients for the elementwise fixup pass:
@@ -444,23 +484,42 @@ def _bwd_pallas(y, dout, scale, bias, mean, var, glu_w, glu_b, seed, rate, pool,
     a = _tile_k(inv * scale * s1g / n_total, k)
     b2 = _tile_k(inv * inv * scale * s2g / n_total, k)
 
-    fixup_in = [
-        big_spec,  # y
-        big_spec,  # dy_partial
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # b
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
-    ]
-    fixup_kernel = functools.partial(_bwd_fixup_kernel, tt=tt, F2=F2, L=L)
-    dy2 = pl.pallas_call(
-        fixup_kernel,
-        grid=grid,
-        in_specs=fixup_in,
-        out_specs=big_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, F2, L), y.dtype),
-        compiler_params=None if interpret else _params(),
-        interpret=interpret,
-    )(args[0], dyp, a, b2, args[3])
+    if recompute:
+        vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        fixup_in = reduce_in + [vec, vec]  # + a, b
+        fixup_kernel = functools.partial(
+            _bwd_fixup_recompute_kernel, tt=tt, F2=F2, L=L, k=k, C=C, pool=pool,
+            rate=rate, eps=eps, nt=nt, train=train, lp=lp, interp=bool(interpret),
+        )
+        dy2 = pl.pallas_call(
+            fixup_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=fixup_in,
+                out_specs=big_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, T, F2, L), y.dtype),
+            compiler_params=None if interpret else _params(),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), args[0], dout, *args[1:],
+          bm, a, b2)
+    else:
+        fixup_in = [
+            big_spec,  # y
+            big_spec,  # dy_partial
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
+        ]
+        fixup_kernel = functools.partial(_bwd_fixup_kernel, tt=tt, F2=F2, L=L)
+        dy2 = pl.pallas_call(
+            fixup_kernel,
+            grid=grid,
+            in_specs=fixup_in,
+            out_specs=big_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, F2, L), y.dtype),
+            compiler_params=None if interpret else _params(),
+            interpret=interpret,
+        )(args[0], dyp, a, b2, args[3])
     dy = dy2.reshape(B, T, F, C)
 
     # fold packed-lane accumulators back to per-channel quantities;

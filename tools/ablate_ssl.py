@@ -1,0 +1,147 @@
+"""Semi-supervised value ablation: does the Mean-Teacher consistency term
+actually do work? (VERDICT r2 item 3 — the recipe's reason-to-exist,
+embodied in the reference's consistency loss, main.py:93-145, must be
+demonstrated rather than assumed: a regression that silently neutered the
+consistency term would otherwise pass every test.)
+
+Three arms at an EQUAL LABELED BUDGET (same --subpart cap on the weak and
+synthetic manifests, same split seeds):
+
+  supervised  labeled streams only (the simple-CRNN recipe: 1/2 weak +
+              1/2 synthetic batches, no teacher) — main_simple_CRNN.py
+  mt          Mean-Teacher with the unlabeled stream added
+              (1/4 weak + 1/2 unlabeled + 1/4 synthetic) — main.py
+  mt_cc0      identical to `mt` but max_consistency_cost = 0: the
+              teacher/EMA machinery runs, the consistency gradient is
+              exactly zero. Any mt-vs-mt_cc0 gap is the consistency term.
+
+Each arm trains --epochs epochs with per-epoch validation (synthetic
+audio → hermetic, deterministic per seed) and reports the BEST validation
+event-based macro F1 and weak tagging F1 over the run (the SaveBest view).
+Arms are averaged over --seeds seeds.
+
+Exit status: 0 if the consistency check passes (mean best event F1 of
+`mt` >= that of `mt_cc0` - --tolerance), else 1. Results are appended as
+JSON to --out and summarized on stdout for RESULTS.md.
+
+Run (TPU): python tools/ablate_ssl.py --subpart 120 --epochs 30
+Run (CPU fallback): DCASE_PLATFORM=cpu python tools/ablate_ssl.py ...
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+from dcase2019_task4_tpu.cli import _apply_platform_override  # noqa: E402
+
+_apply_platform_override()
+
+
+def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root):
+    import numpy as np
+
+    from dcase2019_task4_tpu.config import Config, TrainConfig
+    from dcase2019_task4_tpu.train.experiment import Experiment
+
+    cfg = Config(train=TrainConfig(
+        n_epoch=epochs,
+        max_consistency_cost=max_cc,
+        checkpoint_epochs=0,  # no per-epoch snapshots; metrics.jsonl is the record
+    ))
+    exp = Experiment(
+        cfg, mean_teacher=mean_teacher, subpart_data=subpart,
+        synthetic_audio=True, seed=seed,
+    )
+    store = os.path.join(store_root, f"{name}_s{seed}")
+    t0 = time.time()
+    exp.run(store_dir=store, n_epoch=epochs)
+    wall = time.time() - t0
+    # best-over-run validation numbers from the structured history
+    best_event, best_weak, best_global = 0.0, 0.0, 0.0
+    hist_path = os.path.join(store, "metrics.jsonl")
+    with open(hist_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            best_event = max(best_event, rec.get("event_macro_f1", 0.0))
+            best_weak = max(best_weak, rec.get("weak_macro_f1", 0.0))
+            best_global = max(best_global, rec.get("global_valid", 0.0))
+    n_labeled = sum(
+        len(s) for s in exp.pipeline.streams if s.name in ("weak", "synthetic")
+    )
+    n_unlabeled = sum(len(s) for s in exp.pipeline.streams if s.name == "unlabeled")
+    return {
+        "arm": name, "seed": seed,
+        "best_event_macro_f1": round(best_event, 4),
+        "best_weak_macro_f1": round(best_weak, 4),
+        "best_global_valid": round(best_global, 4),
+        "steps_per_epoch": len(exp.pipeline),
+        "n_labeled_clips": n_labeled, "n_unlabeled_clips": n_unlabeled,
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subpart", type=int, default=120,
+                    help="per-manifest file cap = the labeled budget knob")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--tolerance", type=float, default=0.0,
+                    help="mt may trail mt_cc0 by this much and still pass")
+    ap.add_argument("--store", default="/tmp/ablate_ssl")
+    ap.add_argument("--out", default=os.path.join(REPO, "ABLATION_ssl.json"))
+    ap.add_argument("--arms", default="supervised,mt,mt_cc0")
+    args = ap.parse_args()
+
+    arm_defs = {
+        "supervised": dict(mean_teacher=False, max_cc=2.0),
+        "mt": dict(mean_teacher=True, max_cc=2.0),
+        "mt_cc0": dict(mean_teacher=True, max_cc=0.0),
+    }
+    results = []
+    for seed in range(args.seeds):
+        for arm in args.arms.split(","):
+            d = arm_defs[arm]
+            print(f"=== arm {arm} seed {seed} ===", flush=True)
+            r = run_arm(arm, d["mean_teacher"], d["max_cc"],
+                        args.subpart, args.epochs, seed, args.store)
+            print(json.dumps(r), flush=True)
+            results.append(r)
+
+    def mean_of(arm, key):
+        vals = [r[key] for r in results if r["arm"] == arm]
+        return sum(vals) / len(vals) if vals else None
+
+    summary = {a: {
+        "event_f1": mean_of(a, "best_event_macro_f1"),
+        "weak_f1": mean_of(a, "best_weak_macro_f1"),
+    } for a in args.arms.split(",")}
+    doc = {"subpart": args.subpart, "epochs": args.epochs, "seeds": args.seeds,
+           "summary": summary, "runs": results}
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print("\n=== ablation summary (best validation F1, mean over seeds) ===")
+    for a, s in summary.items():
+        print(f"  {a:<11s} event {s['event_f1']:.4f}  weak {s['weak_f1']:.4f}")
+
+    ok = True
+    if "mt" in summary and "mt_cc0" in summary:
+        gap = summary["mt"]["event_f1"] - summary["mt_cc0"]["event_f1"]
+        print(f"consistency-term contribution (mt - mt_cc0 event F1): {gap:+.4f}")
+        ok = gap >= -args.tolerance
+        print("CHECK", "PASS" if ok else "FAIL",
+              ": zeroing the consistency weight",
+              "degrades (or ties)" if ok else "IMPROVES — the term is hurting/broken")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
