@@ -149,7 +149,8 @@ def get_baseline():
 # -------------------------------------------------------------------- jax
 
 
-def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
+def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False,
+                scaled: bool = False):
     """Steady-state throughput of the complete fused Mean-Teacher step.
 
     Default mode rotates pre-staged device batches (fresh data every step;
@@ -161,7 +162,9 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
     import jax
     import optax
 
-    from dcase2019_task4_tpu.config import Config, ModelConfig
+    import dataclasses
+
+    from dcase2019_task4_tpu.config import Config, ModelConfig, scaled_config
     from dcase2019_task4_tpu.models.crnn import CRNN
     from dcase2019_task4_tpu.ops.mel import MelFrontend
     from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
@@ -170,10 +173,18 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
     # DCASE_BENCH_ENTRY_BLOCK=1: A/B the merged entry-block kernel
     # (ops/fused_entry_block.py) against the default entry-conv + fused-block
     # pair without editing the file
-    cfg = Config(model=ModelConfig(
-        compute_dtype="bfloat16",
-        entry_block_pallas=os.environ.get("DCASE_BENCH_ENTRY_BLOCK") == "1",
-    ))
+    entry_block = os.environ.get("DCASE_BENCH_ENTRY_BLOCK") == "1"
+    if scaled:
+        # BASELINE.json config 5: 128 mels / 128-ch convs / 128-cell BiGRU /
+        # SpecAugment, bf16 (config.scaled_config)
+        cfg = scaled_config()
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, entry_block_pallas=entry_block))
+    else:
+        cfg = Config(model=ModelConfig(
+            compute_dtype="bfloat16",
+            entry_block_pallas=entry_block,
+        ))
     d, t = cfg.dsp, cfg.train
     model = CRNN(cfg.model)
     frontend = MelFrontend(
@@ -182,6 +193,10 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
         compute_dtype="bfloat16",
     )
     optimizer = optax.adam(t.lr, b1=t.beta1, b2=t.beta2, eps=t.adam_eps)
+    sa_cfg = None
+    if scaled and t.spec_augment:
+        sa_cfg = dict(time_masks=t.sa_time_masks, max_time_width=t.sa_max_time_width,
+                      freq_masks=t.sa_freq_masks, max_freq_width=t.sa_max_freq_width)
     q = batch // 4
     step = make_train_step(
         model, optimizer, slice(0, q), slice(3 * q, batch),
@@ -190,6 +205,7 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False):
         scaler_mean=np.zeros(d.n_mels, np.float32),
         scaler_std=np.ones(d.n_mels, np.float32),
         noise_std=t.noise_std,
+        spec_augment_cfg=sa_cfg,
     )
     state = init_train_state(model, optimizer, jax.random.PRNGKey(0), with_ema=True)
 
@@ -284,23 +300,59 @@ def _wait_for_device(total_s: float = 480.0, poll_s: float = 15.0) -> str:
     sys.exit(1)
 
 
+def _utilization(scaled: bool, batch: int, clips_per_sec: float) -> dict:
+    """MFU / HBM-bandwidth utilization of the measured step on v5e peaks,
+    from the analytic step cost model (utils/cost_model.py) — makes the
+    throughput auditable against hardware peak from the JSON alone."""
+    from dcase2019_task4_tpu.config import Config, ModelConfig, scaled_config
+    from dcase2019_task4_tpu.utils.cost_model import step_utilization
+
+    cfg = scaled_config() if scaled else Config(
+        model=ModelConfig(compute_dtype="bfloat16"))
+    u = step_utilization(
+        cfg, batch, step_seconds=batch / clips_per_sec, mean_teacher=True,
+        bwd_recompute=os.environ.get("DCASE_FUSED_BWD_RECOMPUTE") == "1")
+    return {
+        "ms_per_step": round(1000 * batch / clips_per_sec, 2),
+        "mfu_pct": u["mfu_pct"],
+        "hbm_util_pct": u["hbm_util_pct"],
+        "model_tflops_per_step": round(u["flops_per_step"] / 1e12, 3),
+        "hbm_gb_per_step": round(u["hbm_bytes_per_step"] / 1e9, 2),
+    }
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scaled", action="store_true",
+                    help="bench the scaled config (BASELINE.json config 5: "
+                         "128 mels, 128-ch convs, 128-cell BiGRU, SpecAugment) "
+                         "instead of the flagship parity config")
+    ap.add_argument("--skip_feed", action="store_true",
+                    help="skip the tunnel-feed-limited secondary measurement")
+    args = ap.parse_args()
+
     device_kind = _wait_for_device()
-    value = measure_tpu()
-    try:
-        feed_limited = measure_tpu(batch=96, feed_through_host=True)
-    except Exception as e:
-        print(f"feed-limited measurement failed: {e}", file=sys.stderr)
-        feed_limited = None
-    try:
-        baseline = get_baseline()
-    except Exception as e:
-        print(f"baseline measurement failed: {e}", file=sys.stderr)
-        baseline = None
+    value = measure_tpu(scaled=args.scaled)
+    feed_limited = None
+    if not args.skip_feed:
+        try:
+            feed_limited = measure_tpu(batch=96, feed_through_host=True,
+                                       scaled=args.scaled)
+        except Exception as e:
+            print(f"feed-limited measurement failed: {e}", file=sys.stderr)
+    baseline = None
+    if not args.scaled:  # torch baseline twin is flagship geometry only
+        try:
+            baseline = get_baseline()
+        except Exception as e:
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
     vs = (value / baseline) if baseline else None
-    print(json.dumps({
-        "metric": f"mean-teacher train step throughput, fused on-device mel frontend, "
-                  f"batch {TPU_BATCH}, bf16 convs ({device_kind})",
+    label = "scaled 128-mel/128-ch SpecAugment config" if args.scaled else \
+        "mean-teacher train step throughput, fused on-device mel frontend"
+    out = {
+        "metric": f"{label}, batch {TPU_BATCH}, bf16 convs ({device_kind})",
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
@@ -308,7 +360,12 @@ def main():
         "feed_limited_value": round(feed_limited, 2) if feed_limited else None,
         "note": "value = fresh pre-staged device batches (production host link); "
                 "feed_limited = through this sandbox's ~10-35MB/s TPU tunnel",
-    }))
+    }
+    try:
+        out.update(_utilization(args.scaled, TPU_BATCH, value))
+    except Exception as e:
+        print(f"utilization model failed: {e}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
