@@ -51,21 +51,33 @@ def _backend():
         return None
 
 
-def download_file(filename: str, result_dir: str, sample_rate: int = 44100) -> Optional[str]:
+def download_file(filename: str, result_dir: str, sample_rate: int = 44100,
+                  backend=None) -> Optional[str]:
     """Fetch + crop one clip. Returns None on success, else an error string
-    (per-file fault isolation, download_data.py:97-109)."""
+    (per-file fault isolation, download_data.py:97-109).
+
+    The source fetch asks the backend for bestaudio converted to wav
+    (FFmpegExtractAudio — the reference reaches the same state via
+    dcase_util.AudioContainer's ffmpeg load, download_data.py:52-84), then
+    the segment [start, end) named by the AudioSet filename is cropped at
+    `sample_rate` and written as 16-bit PCM. `backend` injects a
+    youtube_dl-compatible module (tests use a fake; None = autodetect)."""
     out_path = os.path.join(result_dir, filename)
     if os.path.exists(out_path):
         return None
-    ydl = _backend()
+    ydl = backend if backend is not None else _backend()
     if ydl is None:
         return "no downloader backend (youtube_dl/yt_dlp not installed)"
+    tmp = out_path + ".src.wav"
     try:
         ytid, start, end = parse_audioset_filename(filename)
-        tmp = out_path + ".src"
         opts = {
             "format": "bestaudio/best",
-            "outtmpl": tmp,
+            # %(ext)s resolves to wav after the extract-audio postprocess
+            "outtmpl": out_path + ".src.%(ext)s",
+            "postprocessors": [
+                {"key": "FFmpegExtractAudio", "preferredcodec": "wav"},
+            ],
             "quiet": True,
             "no_warnings": True,
         }
@@ -75,11 +87,16 @@ def download_file(filename: str, result_dir: str, sample_rate: int = 44100) -> O
 
         audio, sr = read_wav(tmp, sample_rate)
         lo, hi = int(start * sr), int(end * sr)
+        if lo >= len(audio):
+            raise ValueError(
+                f"segment start {start}s beyond source length {len(audio)/sr:.1f}s")
         write_wav(out_path, audio[lo:hi], sr)
-        os.remove(tmp)
         return None
     except Exception as e:  # noqa: BLE001 — per-file isolation by design
         return f"{type(e).__name__}: {e}"
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def download(
