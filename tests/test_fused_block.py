@@ -141,6 +141,30 @@ def test_crnn_fused_matches_unfused_eval_interpret():
     np.testing.assert_allclose(np.asarray(wf), np.asarray(wu), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("DCASE_FUSED_BWD_RECOMPUTE") == "1",
+    reason="already running under the recompute variant",
+)
+def test_recompute_backward_variant_subprocess():
+    """DCASE_FUSED_BWD_RECOMPUTE=1 selects the dy_partial-free backward
+    (fused_block._bwd_fixup_recompute_kernel) at import time, so the default
+    suite can't flip it in-process: re-run the VJP-parity and dropout
+    finite-difference tests in a subprocess with the variant active."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, DCASE_FUSED_BWD_RECOMPUTE="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", os.path.abspath(__file__), "-q",
+         "-k", "custom_vjp or dropout_interpret"],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, f"recompute-variant run failed:\n{r.stdout}\n{r.stderr}"
+    assert "2 passed" in r.stdout, r.stdout
+
+
 @pytest.mark.skipif(not ON_TPU, reason="dropout path needs the TPU PRNG")
 def test_dropout_deterministic_and_grad_consistent_tpu(inputs):
     from jax.experimental import pallas as pl
