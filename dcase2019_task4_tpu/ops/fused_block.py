@@ -112,12 +112,19 @@ def _seed_for(seed_ref, nt):
     return seed_ref[0] + b * nt + t
 
 
+def _prec(lp):
+    # pinned per-dot: the global matmul-precision flag (tests pin `highest`)
+    # must not leak into bf16 Mosaic dots — "Bad lhs type" (CLAUDE.md)
+    return jax.lax.Precision.DEFAULT if lp else jax.lax.Precision.HIGHEST
+
+
 def _dot(a, b, low_precision):
     """MXU dot with f32 accumulation; bf16 operands when the surrounding
     model runs bf16 (4× the f32 MXU rate on v5e), full f32 otherwise."""
     if low_precision:
         a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_prec(low_precision))
 
 
 def _chain_fwd(y, scale, bias, mean, var, glu_w, glu_b, eps, lp):
@@ -251,6 +258,7 @@ def _recompute_dxn(y, dout_up, scale, bias, mean, var, w, b, eps, rate, keep,
         dxn = jax.lax.dot_general(
             dlin.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_prec(True),
         ) + dxn_gate
     else:
         dxn = jax.lax.dot_general(
@@ -286,6 +294,7 @@ def _bwd_reduce_kernel(seed_ref, y_ref, dout_ref, scale_ref, bias_ref, mean_ref,
         dw_ref[:] += jax.lax.dot_general(
             xn.astype(jnp.bfloat16), dlin.astype(jnp.bfloat16),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_prec(True),
         )
     else:
         dw_ref[:] += jax.lax.dot_general(

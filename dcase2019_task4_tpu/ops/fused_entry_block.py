@@ -172,6 +172,7 @@ def _bwd_reduce_kernel(seed_ref, evm_ref, evt_ref, odm_ref, odt_ref, dout_ref,
         dgw_ref[:] += jax.lax.dot_general(
             xn.astype(jnp.bfloat16), dlin.astype(jnp.bfloat16),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=EC._precision(jnp.bfloat16),
         )
     else:
         dgw_ref[:] += jax.lax.dot_general(
