@@ -361,10 +361,12 @@ def main():
         "note": "value = fresh pre-staged device batches (production host link); "
                 "feed_limited = through this sandbox's ~10-35MB/s TPU tunnel",
     }
-    try:
-        out.update(_utilization(args.scaled, TPU_BATCH, value))
-    except Exception as e:
-        print(f"utilization model failed: {e}", file=sys.stderr)
+    if os.environ.get("DCASE_BENCH_ENTRY_BLOCK") != "1":
+        # the byte model describes the DEFAULT kernel path only
+        try:
+            out.update(_utilization(args.scaled, TPU_BATCH, value))
+        except Exception as e:
+            print(f"utilization model failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
