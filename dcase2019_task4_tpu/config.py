@@ -145,10 +145,17 @@ class ModelConfig:
     entry_conv_pallas: bool = False
     # whole FIRST block (conv→BN→GLU→dropout→pool) as one fused Pallas
     # kernel (ops/fused_entry_block.py): the 680 MB entry-conv activation
-    # never exists in HBM in either direction. Opt-in while v5e step-time
-    # numbers are being gathered; falls back to the entry-conv + fused-block
-    # pair when the geometry doesn't apply.
+    # never exists in HBM in either direction. Measured SLOWER than the
+    # default pair on v5e (docs/PERF.md round-3 table); kept as a tested
+    # research variant. Falls back when the geometry doesn't apply.
     entry_block_pallas: bool = False
+    # whole first block in the [C, rows] channel-on-sublane orientation
+    # (ops/crows_block.py): the patch tensor lives on SUBLANES (pad 8, not
+    # 128), both batch halves share every matmul, and no dx/d(conv) is ever
+    # materialized. Flagship-geometry specialist (C=64, F=64, pool (2,pf),
+    # even batch); falls back otherwise. Takes precedence over
+    # entry_block_pallas when both apply.
+    entry_block_crows: bool = False
 
     @property
     def pooling_time_ratio(self) -> int:

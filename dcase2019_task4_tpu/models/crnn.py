@@ -107,6 +107,34 @@ class CRNN:
                 and cfg.stride[0] == 1
                 and cfg.padding[0] == 1
                 and use_fused
+                and cfg.entry_block_crows
+                and block["conv"]["w"].shape[-1] == 64
+                and _crows_applicable(x.shape, tuple(cfg.pooling[0]))
+            ):
+                # first block in the [C, rows] channel-on-sublane
+                # orientation (ops/crows_block.py): patches pad to 8
+                # sublanes instead of 128 lanes, and neither the patch
+                # tensor nor the conv activation nor any of its gradients
+                # ever reach HBM.
+                if train:
+                    rng, sub = jax.random.split(rng)
+                    seed = jax.random.randint(sub, (), 0, 2**31 - 2**20, dtype=jnp.int32)
+                else:
+                    seed = jnp.int32(0)
+                x, bn_s = self._entry_block(
+                    block, state["cnn"][0], x, seed, train,
+                    batch_axis=batch_axis, axis_size=axis_size,
+                    interpret=interpret, engine="crows",
+                )
+                new_state["cnn"].append(bn_s)
+                continue
+            if (
+                i == 0
+                and x.shape[-1] == 1
+                and cfg.kernel_size[0] == 3
+                and cfg.stride[0] == 1
+                and cfg.padding[0] == 1
+                and use_fused
                 and cfg.entry_block_pallas
                 and block["conv"]["w"].shape[-1] * 2 == 128
                 and _entry_block_applicable(x.shape, tuple(cfg.pooling[0]))
@@ -334,15 +362,24 @@ class CRNN:
         return out, new_bn
 
     def _entry_block(self, block, bn_state, x, seed, train,
-                     batch_axis=None, axis_size: int = 1, interpret: bool = False):
+                     batch_axis=None, axis_size: int = 1, interpret: bool = False,
+                     engine: str = "planes"):
         """First block (conv→BN→GLU→dropout→pool) as one Pallas kernel
-        (ops/fused_entry_block.py). BN statistics come from the kernel's
-        stats pass over the conv output (never materialized); the
-        running-stat update and shard psum mirror _fused_block exactly."""
-        from dcase2019_task4_tpu.ops.fused_entry_block import (
-            entry_block_apply,
-            entry_block_stats_apply,
-        )
+        (engine="planes": ops/fused_entry_block.py parity-plane kernel;
+        engine="crows": ops/crows_block.py channel-on-sublane kernel). BN
+        statistics come from the kernel's stats pass over the conv output
+        (never materialized); the running-stat update and shard psum
+        mirror _fused_block exactly."""
+        if engine == "crows":
+            from dcase2019_task4_tpu.ops.crows_block import (
+                crows_apply as entry_block_apply,
+                crows_stats_apply as entry_block_stats_apply,
+            )
+        else:
+            from dcase2019_task4_tpu.ops.fused_entry_block import (
+                entry_block_apply,
+                entry_block_stats_apply,
+            )
 
         cfg = self.cfg
         cd = jnp.dtype(cfg.compute_dtype)
@@ -384,6 +421,12 @@ def _entry_block_applicable(shape, pool) -> bool:
     from dcase2019_task4_tpu.ops.fused_entry_block import entry_block_applicable
 
     return entry_block_applicable(shape, pool)
+
+
+def _crows_applicable(shape, pool) -> bool:
+    from dcase2019_task4_tpu.ops.crows_block import crows_applicable
+
+    return crows_applicable(shape, pool)
 
 
 def _packed_conv_tileable(T: int) -> bool:
