@@ -170,20 +170,23 @@ def measure_tpu(batch: int = TPU_BATCH, feed_through_host: bool = False,
     from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
     from dcase2019_task4_tpu.data.pipeline import device_prefetch, quantize_audio_int16
 
-    # DCASE_BENCH_ENTRY_BLOCK=1: A/B the merged entry-block kernel
-    # (ops/fused_entry_block.py) against the default entry-conv + fused-block
-    # pair without editing the file
+    # DCASE_BENCH_ENTRY_BLOCK=1 / DCASE_BENCH_CROWS=1: A/B the merged
+    # entry-block kernels (ops/fused_entry_block.py / ops/crows_block.py)
+    # against the default entry-conv + fused-block pair without editing
+    # the file
     entry_block = os.environ.get("DCASE_BENCH_ENTRY_BLOCK") == "1"
+    crows = os.environ.get("DCASE_BENCH_CROWS") == "1"
     if scaled:
         # BASELINE.json config 5: 128 mels / 128-ch convs / 128-cell BiGRU /
         # SpecAugment, bf16 (config.scaled_config)
         cfg = scaled_config()
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, entry_block_pallas=entry_block))
+            cfg.model, entry_block_pallas=entry_block, entry_block_crows=crows))
     else:
         cfg = Config(model=ModelConfig(
             compute_dtype="bfloat16",
             entry_block_pallas=entry_block,
+            entry_block_crows=crows,
         ))
     d, t = cfg.dsp, cfg.train
     model = CRNN(cfg.model)
