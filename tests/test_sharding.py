@@ -125,10 +125,11 @@ def test_fused_grads_sharded_match_single_device():
     x = jnp.asarray(rng.standard_normal((B, 96, 64)).astype(np.float32))
     key = jax.random.PRNGKey(9)
 
-    for entry_block in (False, True):
+    for entry_engine in ("default", "planes", "crows"):
         cfg = ModelConfig(
             fused_block=True, fused_interpret=True, dropout=0.0,
-            entry_block_pallas=entry_block,
+            entry_block_pallas=entry_engine == "planes",
+            entry_block_crows=entry_engine == "crows",
         )
         model = CRNN(cfg)
         params, state = model.init(jax.random.PRNGKey(0))
@@ -155,7 +156,7 @@ def test_fused_grads_sharded_match_single_device():
         for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
-                err_msg=f"entry_block={entry_block}",
+                err_msg=f"entry_engine={entry_engine}",
             )
 
 

@@ -11,12 +11,15 @@ from dcase2019_task4_tpu.train.steps import init_train_state, make_train_step
 from dcase2019_task4_tpu.utils.profiling import trace, top_device_ops
 
 batch = 96
-# --entry_block: profile with the merged entry-block kernel
-# (ops/fused_entry_block.py) instead of the entry-conv + fused-block pair
+# --entry_block / --crows: profile with a merged entry-block kernel
+# (ops/fused_entry_block.py / ops/crows_block.py) instead of the
+# entry-conv + fused-block pair
 entry_block = "--entry_block" in sys.argv
+crows = "--crows" in sys.argv
 cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
-                               entry_block_pallas=entry_block))
-print("entry_block_pallas:", entry_block)
+                               entry_block_pallas=entry_block,
+                               entry_block_crows=crows))
+print("entry_block_pallas:", entry_block, "entry_block_crows:", crows)
 d, t = cfg.dsp, cfg.train
 model = CRNN(cfg.model)
 frontend = MelFrontend(
