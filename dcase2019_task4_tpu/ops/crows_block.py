@@ -101,9 +101,11 @@ def _pool_matrix(L: int, F: int, pt: int, pf: int, dtype) -> np.ndarray:
 
 def pack_conv_w(w: jnp.ndarray) -> jnp.ndarray:
     """[3, 3, 1, C] conv weight → [2C, 2·TAPS] half-interleaved packed
-    weight (differentiable: gradients fold back through this packing)."""
+    weight (differentiable: gradients fold back through this packing).
+    Tap order matches _patch_tile: (df, dt) major (the patch stack rolls
+    the whole 3-dt base once per df), halves interleaved."""
     C = w.shape[-1]
-    wt = w.reshape(TAPS, C).T  # [C, 9]
+    wt = w.transpose(1, 0, 2, 3).reshape(TAPS, C).T  # [C, 9], j = df*3 + dt
     z = jnp.zeros_like(wt)
     top = jnp.stack([wt, z], axis=2).reshape(C, 2 * TAPS)  # taps at even cols
     bot = jnp.stack([z, wt], axis=2).reshape(C, 2 * TAPS)  # taps at odd cols
@@ -149,18 +151,19 @@ def _lane_roll(t, shift):
 
 def _patch_tile(xm, x0, xp, F, cdtype):
     """Three [2, L] dt-row tiles → [2·TAPS, L] patch tile, halves
-    interleaved per tap (tap j of half h at sublane 2j + h)."""
+    interleaved per tap, taps ordered (df, dt) major. The whole [6, L]
+    dt-stack is rolled ONCE per df (2 rolls total instead of 6 per-tap
+    rolls — the rolls are the patch build's only VPU work)."""
     L = x0.shape[-1]
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) % F
     mask_l = (lane_f != 0).astype(cdtype)       # df = −1 taps
     mask_r = (lane_f != F - 1).astype(cdtype)   # df = +1 taps
-    rows = []
-    for base in (xm, x0, xp):
-        b = base.astype(cdtype)
-        rows.append(_lane_roll(b, 1) * mask_l)
-        rows.append(b)
-        rows.append(_lane_roll(b, -1) * mask_r)
-    return jnp.concatenate(rows, axis=0)  # [18, L] (taps grouped in pairs)
+    base = jnp.concatenate(
+        [xm.astype(cdtype), x0.astype(cdtype), xp.astype(cdtype)], axis=0
+    )  # [6, L]: (dt, half)
+    left = _lane_roll(base, 1) * mask_l
+    right = _lane_roll(base, -1) * mask_r
+    return jnp.concatenate([left, base, right], axis=0)  # [18, L]: (df, dt, half)
 
 
 def _conv_tile(xm_ref, x0_ref, xp_ref, w2_ref, cb_ref, F, cdtype, act_bf16,
