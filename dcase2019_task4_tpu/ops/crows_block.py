@@ -68,17 +68,20 @@ def crows_applicable(shape, pool) -> bool:
     B, T, F, cin = shape
     pt, pf = pool
     return (cin == 1 and F == 64 and pt == 2 and F % pf == 0
-            and B % 2 == 0 and T % 2 == 0 and _pick_l(T * F) > 0)
+            and B % 2 == 0 and T % 2 == 0 and _pick_l(T * F, pt * pf) > 0)
 
 
-def _pick_l(TF: int, max_l: int = 8192) -> int:
-    """Largest lane-tile L ≤ max_l with TF % L == 0 and L % 128 == 0."""
+def _pick_l(TF: int, ptpf: int = 8, max_l: int = 8192) -> int:
+    """Largest lane-tile L ≤ max_l with TF % L == 0 and L % 128 == 0.
+    The POOLED output tile L/(pt·pf) must itself be a legal lane block:
+    128-divisible, unless the whole array is one tile (nt == 1, where the
+    block equals the array and Mosaic accepts any size)."""
     best = 0
     for nt in range(1, TF // 128 + 1):
         if TF % nt:
             continue
         L = TF // nt
-        if L <= max_l and L % 128 == 0:
+        if L <= max_l and L % 128 == 0 and (nt == 1 or L % (128 * ptpf) == 0):
             return L
     return best
 
@@ -155,15 +158,19 @@ def _patch_tile(xm, x0, xp, F, cdtype):
     dt-stack is rolled ONCE per df (2 rolls total instead of 6 per-tap
     rolls — the rolls are the patch build's only VPU work)."""
     L = x0.shape[-1]
+    # Mosaic's lane rotate is 32-bit-only ("Rotate with non-32-bit data"):
+    # roll in f32 and cast the stacked result down to the compute dtype.
+    rdtype = jnp.float32 if jnp.dtype(cdtype).itemsize < 4 else cdtype
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) % F
-    mask_l = (lane_f != 0).astype(cdtype)       # df = −1 taps
-    mask_r = (lane_f != F - 1).astype(cdtype)   # df = +1 taps
+    mask_l = (lane_f != 0).astype(rdtype)       # df = −1 taps
+    mask_r = (lane_f != F - 1).astype(rdtype)   # df = +1 taps
     base = jnp.concatenate(
-        [xm.astype(cdtype), x0.astype(cdtype), xp.astype(cdtype)], axis=0
+        [xm.astype(rdtype), x0.astype(rdtype), xp.astype(rdtype)], axis=0
     )  # [6, L]: (dt, half)
     left = _lane_roll(base, 1) * mask_l
     right = _lane_roll(base, -1) * mask_r
-    return jnp.concatenate([left, base, right], axis=0)  # [18, L]: (df, dt, half)
+    stack = jnp.concatenate([left, base, right], axis=0)  # [18, L]: (df, dt, half)
+    return stack.astype(cdtype)
 
 
 def _conv_tile(xm_ref, x0_ref, xp_ref, w2_ref, cb_ref, F, cdtype, act_bf16,
@@ -343,9 +350,9 @@ def _bwd_wgrad_kernel(seed_ref, xm_ref, x0_ref, xp_ref, dout_ref, w2_ref,
 
 def _geom(x3_shape, pool):
     B2, _, TF = x3_shape
-    L = _pick_l(TF)
-    nt = TF // L
     pt, pf = pool
+    L = _pick_l(TF, pt * pf)
+    nt = TF // L
     return B2, TF, L, nt, TF // (pt * pf), L // (pt * pf)
 
 

@@ -58,6 +58,23 @@ def test_applicable(inputs):
     assert not CR.crows_applicable((B, T, F, 1), (4, 2))   # pt != 2
 
 
+def test_pick_l_pooled_tile_is_lane_legal():
+    """Multi-tile grids must keep the POOLED output block 128-lane-divisible
+    (Mosaic rejects (1, 2C, Lp) blocks otherwise — hit at the flagship
+    T·F = 864·64, where the old pick chose L=6912 → Lp=864)."""
+    assert CR._pick_l(864 * 64, 8) == 6144               # flagship: Lp=768
+    for TF in (1024, 2048, 864 * 64, 432 * 64, 3456 * 64, 500 * 64):
+        for ptpf in (8, 16):
+            L = CR._pick_l(TF, ptpf)
+            if L == 0:
+                continue
+            assert TF % L == 0 and L % 128 == 0
+            nt = TF // L
+            assert nt == 1 or (L // ptpf) % 128 == 0
+    # the single-tile escape: whole array in one block is always legal
+    assert CR._pick_l(1024, 8) == 1024
+
+
 def test_stats_match_conv(inputs):
     x, conv, *_ = inputs
     mean, var = _stats(conv, x)
