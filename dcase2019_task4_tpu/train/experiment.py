@@ -221,12 +221,42 @@ class Experiment:
         self._built = True
         return self
 
+    def _scaler_cache_key(self) -> str:
+        """Content hash over everything that determines the scaler moments:
+        the exact per-stream file lists (streams + splits + subpart already
+        applied) plus the full DSP config and the audio-source kind. Two
+        experiments with the same key see byte-identical feature streams."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(repr(self.cfg.dsp).encode())
+        h.update(repr(bool(self.synthetic_audio)).encode())
+        for s in self.pipeline.streams:
+            h.update(s.name.encode())
+            for fn in s.filenames:
+                h.update(fn.encode())
+        return h.hexdigest()[:16]
+
     def _fit_scaler(self):
         """Dataset-moment pass on device over all training streams
         (reference Scaler.calculate_scaler over the ConcatDataset,
         main.py:249-250 — equal weight per clip, features WITHOUT noise).
-        Moments reduce on device; only [n_mels] vectors come back per batch."""
+        Moments reduce on device; only [n_mels] vectors come back per batch.
+
+        Set DCASE_SCALER_CACHE=<dir> to memoize the fit keyed by the exact
+        stream contents + DSP config — the moment pass streams every training
+        clip through the host↔device link, which dominates setup time under
+        the tunnel, and sweeps/ablations re-fit identical data per arm."""
         from dcase2019_task4_tpu.train.steps import make_scaler_stats
+
+        cache_dir = os.environ.get("DCASE_SCALER_CACHE")
+        cache_path = None
+        if cache_dir:
+            cache_path = os.path.join(cache_dir, f"scaler_{self._scaler_cache_key()}.json")
+            if os.path.exists(cache_path):
+                self.scaler.load(cache_path)
+                self.log.info(f"scaler stats loaded from cache: {cache_path}")
+                return
 
         self.log.info("fitting scaler (device pass over training features)")
         t0 = time.time()
@@ -250,6 +280,10 @@ class Experiment:
         self.scaler.mean_of_square_ = total_sq / count
         self.scaler._finalize()
         self.log.info(f"scaler fit in {time.time() - t0:.1f}s ({count} clips)")
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            self.scaler.save(cache_path)
+            self.log.info(f"scaler stats cached: {cache_path}")
 
     def _build_steps(self):
         t = self.cfg.train

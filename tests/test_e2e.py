@@ -582,3 +582,38 @@ def test_predict_long_overlap_timeline(tmp_path, tiny_exp):
     assert len(pred) == len(tiny_exp.classes)
     assert (pred["onset"] == 0.0).all()
     assert pred["offset"].max() == pytest.approx(dur, abs=1e-6)
+
+
+def test_scaler_cache_memoizes_fit(tmp_path, monkeypatch):
+    """DCASE_SCALER_CACHE memoizes the moment pass keyed by stream contents
+    + DSP config: a second identical build loads the cached stats without
+    touching the device, and a different stream layout gets its own key."""
+    import dcase2019_task4_tpu.train.steps as steps_mod
+
+    cache_dir = tmp_path / "scaler_cache"
+    monkeypatch.setenv("DCASE_SCALER_CACHE", str(cache_dir))
+
+    exp1 = Experiment(TINY_CFG, mean_teacher=True, subpart_data=12,
+                      synthetic_audio=True, seed=0)
+    exp1.build()
+    files = sorted(os.listdir(cache_dir))
+    assert len(files) == 1
+
+    # identical config -> cache hit; poison the device pass to prove it
+    def boom(*a, **k):
+        raise AssertionError("scaler refit despite warm cache")
+
+    monkeypatch.setattr(steps_mod, "make_scaler_stats", boom)
+    exp2 = Experiment(TINY_CFG, mean_teacher=True, subpart_data=12,
+                      synthetic_audio=True, seed=0)
+    exp2.build()
+    np.testing.assert_allclose(exp2.scaler.mean_, exp1.scaler.mean_)
+    np.testing.assert_allclose(exp2.scaler.std_, exp1.scaler.std_)
+    monkeypatch.undo()
+    monkeypatch.setenv("DCASE_SCALER_CACHE", str(cache_dir))
+
+    # different stream layout (supervised: no unlabeled stream) -> new key
+    exp3 = Experiment(TINY_CFG, mean_teacher=False, subpart_data=12,
+                      synthetic_audio=True, seed=0)
+    exp3.build()
+    assert len(sorted(os.listdir(cache_dir))) == 2

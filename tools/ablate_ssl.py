@@ -94,6 +94,10 @@ def main():
                     help="per-manifest file cap = the labeled budget knob")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--seed_base", type=int, default=0,
+                    help="first seed (run seeds [base, base+seeds)) — lets a "
+                         "second invocation add independent seeds without "
+                         "re-running the first")
     ap.add_argument("--tolerance", type=float, default=0.0,
                     help="mt may trail mt_cc0 by this much and still pass")
     ap.add_argument("--store", default="/tmp/ablate_ssl")
@@ -107,7 +111,12 @@ def main():
         "mt_cc0": dict(mean_teacher=True, max_cc=0.0),
     }
     results = []
-    for seed in range(args.seeds):
+    if os.path.exists(args.out):  # accumulate across same-config invocations
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("subpart") == args.subpart and prev.get("epochs") == args.epochs:
+            results = prev.get("runs", [])
+    for seed in range(args.seed_base, args.seed_base + args.seeds):
         for arm in args.arms.split(","):
             d = arm_defs[arm]
             print(f"=== arm {arm} seed {seed} ===", flush=True)
@@ -124,7 +133,8 @@ def main():
         "event_f1": mean_of(a, "best_event_macro_f1"),
         "weak_f1": mean_of(a, "best_weak_macro_f1"),
     } for a in args.arms.split(",")}
-    doc = {"subpart": args.subpart, "epochs": args.epochs, "seeds": args.seeds,
+    doc = {"subpart": args.subpart, "epochs": args.epochs,
+           "seeds": len({r["seed"] for r in results}),
            "summary": summary, "runs": results}
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
