@@ -61,6 +61,10 @@ def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root):
         synthetic_audio=True, seed=seed,
     )
     store = os.path.join(store_root, f"{name}_s{seed}")
+    if os.path.exists(store):  # leftover from an interrupted run: start clean
+        import shutil
+
+        shutil.rmtree(store)
     t0 = time.time()
     exp.run(store_dir=store, n_epoch=epochs)
     wall = time.time() - t0
@@ -116,28 +120,39 @@ def main():
             prev = json.load(f)
         if prev.get("subpart") == args.subpart and prev.get("epochs") == args.epochs:
             results = prev.get("runs", [])
+            done = {(r["arm"], r["seed"]) for r in results}
+            if done:
+                print(f"resuming: {len(done)} arm-runs already in {args.out}")
+
+    def mean_of(arm, key):
+        vals = [r[key] for r in results if r["arm"] == arm]
+        return sum(vals) / len(vals) if vals else None
+
+    def write_doc():
+        summary = {a: {
+            "event_f1": mean_of(a, "best_event_macro_f1"),
+            "weak_f1": mean_of(a, "best_weak_macro_f1"),
+        } for a in args.arms.split(",")}
+        doc = {"subpart": args.subpart, "epochs": args.epochs,
+               "seeds": len({r["seed"] for r in results}),
+               "summary": summary, "runs": results}
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        return summary
+
     for seed in range(args.seed_base, args.seed_base + args.seeds):
         for arm in args.arms.split(","):
+            if any(r["arm"] == arm and r["seed"] == seed for r in results):
+                continue  # already done in a previous invocation
             d = arm_defs[arm]
             print(f"=== arm {arm} seed {seed} ===", flush=True)
             r = run_arm(arm, d["mean_teacher"], d["max_cc"],
                         args.subpart, args.epochs, seed, args.store)
             print(json.dumps(r), flush=True)
             results.append(r)
+            write_doc()  # crash-safe: partial results land after every arm
 
-    def mean_of(arm, key):
-        vals = [r[key] for r in results if r["arm"] == arm]
-        return sum(vals) / len(vals) if vals else None
-
-    summary = {a: {
-        "event_f1": mean_of(a, "best_event_macro_f1"),
-        "weak_f1": mean_of(a, "best_weak_macro_f1"),
-    } for a in args.arms.split(",")}
-    doc = {"subpart": args.subpart, "epochs": args.epochs,
-           "seeds": len({r["seed"] for r in results}),
-           "summary": summary, "runs": results}
-    with open(args.out, "w") as f:
-        json.dump(doc, f, indent=1)
+    summary = write_doc()
     print("\n=== ablation summary (best validation F1, mean over seeds) ===")
     for a, s in summary.items():
         print(f"  {a:<11s} event {s['event_f1']:.4f}  weak {s['weak_f1']:.4f}")
