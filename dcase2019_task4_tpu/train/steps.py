@@ -14,6 +14,7 @@ flow, so one compilation serves the whole run.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -30,6 +31,24 @@ def dequantize_audio(audio: jnp.ndarray) -> jnp.ndarray:
     if audio.dtype == jnp.int16:
         return audio.astype(jnp.float32) * (1.0 / 32768.0)
     return audio
+
+
+def _flat_param_update() -> bool:
+    """DCASE_FLAT_OPT=1 runs the step's param-update tail (Adam moments +
+    update, EMA lerp) over ONE raveled parameter buffer instead of ~40
+    per-leaf pytree kernels. Element-wise math is unchanged (differences are
+    fp-noise from fusion boundaries) — a kernel-count/scheduling A/B knob for the
+    profile's "losses/Adam/EMA/heads" tail (docs/PERF.md). Read at step-build
+    time; affects the optimizer state LAYOUT (flat mu/nu), so a checkpoint
+    written with one setting resumes only under the same setting."""
+    return os.environ.get("DCASE_FLAT_OPT", "0") == "1"
+
+
+def wrap_optimizer(optimizer):
+    """Apply the flat-update knob; call on the optimizer passed to BOTH
+    init_train_state and make_train_step (they must agree on state layout).
+    Both call it themselves — callers just pass the raw optax transform."""
+    return optax.flatten(optimizer) if _flat_param_update() else optimizer
 
 
 class TrainState(NamedTuple):
@@ -51,7 +70,7 @@ def init_train_state(model, optimizer, key, with_ema: bool = True) -> TrainState
         ema_params, ema_bn_state = model.init(k_teacher)
     else:
         ema_params, ema_bn_state = None, None
-    opt_state = optimizer.init(params)
+    opt_state = wrap_optimizer(optimizer).init(params)
     return TrainState(params, bn_state, ema_params, ema_bn_state, opt_state, jnp.int32(0))
 
 
@@ -61,6 +80,12 @@ def ema_update(params, ema_params, step, alpha_max: float = 0.999):
     global_step before calling update_ema_variables, so g = step + 1)."""
     g = step + 1
     alpha = jnp.minimum(1.0 - 1.0 / (g.astype(jnp.float32) + 1.0), alpha_max)
+    if _flat_param_update():
+        from jax.flatten_util import ravel_pytree
+
+        flat_p, _ = ravel_pytree(params)
+        flat_e, unravel = ravel_pytree(ema_params)
+        return unravel(alpha * flat_e + (1.0 - alpha) * flat_p)
     return jax.tree.map(lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params)
 
 
@@ -132,6 +157,7 @@ def make_train_step(
     if scaler_mean is not None:
         scaler_mean = jnp.asarray(scaler_mean, jnp.float32)
         scaler_std = jnp.asarray(scaler_std, jnp.float32)
+    optimizer = wrap_optimizer(optimizer)
     axis = axis_name if mesh is not None else None
     axis_size = int(mesh.devices.size) if mesh is not None else 1
 

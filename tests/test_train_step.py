@@ -168,3 +168,38 @@ def test_bce_matches_torch_bceloss():
     ours = float(losses.bce(jnp.asarray(p), jnp.asarray(y)))
     ref = float(torch.nn.BCELoss()(torch.from_numpy(p), torch.from_numpy(y)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_flat_param_update_identical(monkeypatch):
+    """DCASE_FLAT_OPT=1 (single-buffer Adam/EMA tail) runs the same
+    element-wise math over raveled params: one step must match the per-leaf
+    pytree path BIT-EXACTLY (measured: step 1 exact, step 2 differs by one
+    ulp from fusion boundaries, then batch-norm chaos amplifies — so
+    multi-step trajectory comparison would only test sensitivity, not
+    semantics)."""
+
+    def run():
+        model = CRNN(TINY)
+        opt = optax.adam(1e-3)
+        step = make_train_step(
+            model, opt, WEAK, STRONG, mean_teacher=True, rampup_length=100,
+            max_consistency_cost=2.0,
+        )
+        state = init_train_state(model, opt, jax.random.PRNGKey(0), with_ema=True)
+        state, m, _ = step(state, _batch(0), jax.random.PRNGKey(10), step.zero_metrics())
+        return state, m
+
+    monkeypatch.delenv("DCASE_FLAT_OPT", raising=False)
+    s_tree, m_tree = run()
+    monkeypatch.setenv("DCASE_FLAT_OPT", "1")
+    s_flat, m_flat = run()
+
+    assert float(m_tree["loss"]) == float(m_flat["loss"])
+    for a, b in zip(jax.tree.leaves(s_tree.params), jax.tree.leaves(s_flat.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_tree.ema_params), jax.tree.leaves(s_flat.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # flat mode really flattened: Adam moments are single vectors
+    mu_leaves = jax.tree.leaves(s_flat.opt_state[0].mu)
+    assert len(mu_leaves) == 1 and mu_leaves[0].ndim == 1
+    assert len(jax.tree.leaves(s_tree.opt_state[0].mu)) > 1
