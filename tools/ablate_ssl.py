@@ -129,10 +129,14 @@ def main():
         return sum(vals) / len(vals) if vals else None
 
     def write_doc():
+        # summarize every arm present in the accumulated runs (an
+        # invocation adding seeds for a subset must not drop the others)
+        arms_present = list(dict.fromkeys(
+            list(args.arms.split(",")) + [r["arm"] for r in results]))
         summary = {a: {
             "event_f1": mean_of(a, "best_event_macro_f1"),
             "weak_f1": mean_of(a, "best_weak_macro_f1"),
-        } for a in args.arms.split(",")}
+        } for a in arms_present}
         doc = {"subpart": args.subpart, "epochs": args.epochs,
                "seeds": len({r["seed"] for r in results}),
                "summary": summary, "runs": results}
