@@ -31,6 +31,16 @@ if nprocs > 1:
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}", num_processes=nprocs, process_id=pid
     )
+    # Establish the Gloo clique NOW, while the processes are still in
+    # lockstep: context init rendezvous has a 30 s key-value timeout, and
+    # the first collective otherwise runs only after each process compiles
+    # the big train step — cold-cache / loaded-machine compile skew between
+    # the processes can exceed 30 s (observed: GetKeyValue() DEADLINE_EXCEEDED
+    # for key cpu:gloo/...). The tiny sync compiles in ~1 s on both sides and
+    # the cached communicator is reused by every later collective.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gloo-clique-warmup")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
