@@ -214,6 +214,16 @@ def evaluate(argv=None):
                         "evaluation_measures.py:60-66. Overrides --threshold.")
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="Shard eval batches over all visible devices.")
+    parser.add_argument("--export", type=str, default=None,
+                        help="Instead of evaluating, export the serving "
+                        "function (audio → event probabilities, weights and "
+                        "scaler baked in) as a self-contained jax.export/"
+                        "StableHLO artifact at this path (eval/export.py; "
+                        "load with eval.export.load_serving — only jax "
+                        "needed).")
+    parser.add_argument("--export_batch", type=int, default=None,
+                        help="Batch size the artifact is traced at "
+                        "(default: the checkpoint's configured batch size).")
     args = parser.parse_args(argv)
     from dcase2019_task4_tpu.eval.evaluate import CheckpointEvaluator
 
@@ -229,6 +239,13 @@ def evaluate(argv=None):
     else:
         ev = CheckpointEvaluator(args.model_path, synthetic_audio=args.synthetic_audio,
                                  mesh=mesh)
+    if args.export:
+        from dcase2019_task4_tpu.eval.export import export_serving
+
+        header = export_serving(ev, args.export, batch_size=args.export_batch)
+        print(f"exported serving artifact → {args.export} "
+              f"(batch {header['batch_size']}, platforms {header['platforms']})")
+        return header
     paths = ev.cfg.paths
     sets = args.sets or [paths.eval2018, paths.validation, paths.eval_desed]
     threshold = (

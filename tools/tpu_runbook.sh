@@ -37,6 +37,6 @@ echo "=== 3/3 TPU-gated kernel tests ==="
 DCASE_TPU_TESTS=1 timeout 2400 python -m pytest \
   tests/test_fused_block.py tests/test_packed_conv.py tests/test_fused_mel.py \
   tests/test_fused_entry_block.py tests/test_entry_conv.py \
-  tests/test_crows_block.py -q \
+  tests/test_crows_block.py tests/test_export.py -q \
   > /tmp/tpu_gated_tests.log 2>&1
 echo "tpu-gated tests exit=$? : $(tail -1 /tmp/tpu_gated_tests.log)"
