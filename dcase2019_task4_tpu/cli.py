@@ -50,6 +50,11 @@ def _common_train_args(parser):
     parser.add_argument("--store_dir", type=str, default=None)
     parser.add_argument("--synthetic_audio", action="store_true", default=False,
                         help="Fabricate class-consistent audio instead of reading wavs.")
+    parser.add_argument("--synthetic_variability", type=float, default=0.0,
+                        help="With --synthetic_audio: nuisance variation "
+                        "strength (per-clip noise floor/gain, per-event "
+                        "timbre/detune/wobble; labels unchanged). 0 = the "
+                        "original deterministic tone-bank source.")
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="Shard batches over all visible devices (GSPMD).")
     parser.add_argument("--bf16", action="store_true", default=False,
@@ -120,6 +125,7 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
         no_weak=no_weak,
         subpart_data=args.subpart_data,
         synthetic_audio=args.synthetic_audio,
+        synthetic_variability=getattr(args, "synthetic_variability", 0.0),
         mesh=mesh,
         seed=args.seed,
         ramped_adam=getattr(args, "ramped_adam", False),

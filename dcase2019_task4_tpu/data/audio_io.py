@@ -72,13 +72,31 @@ def synth_clip(
     sample_rate: int = 44100,
     noise_level: float = 0.02,
     seed_salt: str = "desed-synth",
+    variability: float = 0.0,
 ) -> np.ndarray:
     """Deterministic synthetic clip: background noise + per-event tone
-    bursts. `events` is [(class_id, onset_sec, offset_sec)]."""
+    bursts. `events` is [(class_id, onset_sec, offset_sec)].
+
+    `variability` > 0 adds controlled NUISANCE variation across clips —
+    per-clip noise floor and gain (lognormal spread), per-event harmonic
+    timbre weights, detune, and a slow amplitude wobble — without touching
+    the event boundaries, so the ground-truth labels stay exact. At 0.0 the
+    waveform is bit-identical to the original deterministic source (every
+    extra RNG draw is gated). The point (VERDICT r3 item 1): with zero
+    nuisance the class manifold is a point per clip and input-perturbation
+    invariance is trivially satisfied, so the Mean-Teacher consistency term
+    (reference main.py:93-145) has nothing to teach; with nuisance spread
+    the noise-view invariance the teacher enforces corresponds to real
+    variation in the data distribution."""
     rng = np.random.default_rng(_stable_seed(seed_salt, filename))
     n = int(duration * sample_rate)
     t = np.arange(n) / sample_rate
-    audio = noise_level * rng.standard_normal(n)
+    v = float(variability)
+    clip_noise, clip_gain = noise_level, 0.25
+    if v > 0:
+        clip_noise = noise_level * np.exp(v * rng.standard_normal())
+        clip_gain = 0.25 * np.exp(0.5 * v * rng.standard_normal())
+    audio = clip_noise * rng.standard_normal(n)
     for class_id, onset, offset in events:
         lo = int(max(0.0, onset) * sample_rate)
         hi = int(min(duration, offset) * sample_rate)
@@ -86,12 +104,25 @@ def synth_clip(
             continue
         seg_t = t[lo:hi]
         tone = np.zeros(hi - lo)
-        for f in class_tone_bank(class_id):
+        bank = class_tone_bank(class_id)
+        for f in bank:
             if f < sample_rate / 2:
                 phase = rng.uniform(0, 2 * np.pi)
-                tone += np.sin(2 * np.pi * f * seg_t + phase)
+                if v > 0:
+                    # per-event timbre: harmonic weight + slight detune
+                    w = max(0.1, 1.0 + 0.6 * v * rng.uniform(-1, 1))
+                    f = f * (1.0 + 0.03 * v * rng.uniform(-1, 1))
+                else:
+                    w = 1.0
+                tone += w * np.sin(2 * np.pi * f * seg_t + phase)
         env = np.minimum(1.0, np.minimum(seg_t - seg_t[0], seg_t[-1] - seg_t) * 20 + 0.05)
-        audio[lo:hi] += 0.25 * env * tone / max(len(class_tone_bank(class_id)), 1)
+        if v > 0:
+            # slow amplitude wobble (0.5–4 Hz), bounded away from zero so
+            # the event stays audible over its whole labeled extent
+            f_mod = rng.uniform(0.5, 4.0)
+            ph_mod = rng.uniform(0, 2 * np.pi)
+            env = env * (1.0 + 0.3 * v * np.sin(2 * np.pi * f_mod * seg_t + ph_mod))
+        audio[lo:hi] += clip_gain * env * tone / max(len(bank), 1)
     return audio.astype(np.float32)
 
 
@@ -102,9 +133,11 @@ class SyntheticAudioSource:
     the real audio; the full pipeline — featurization, training, decoding,
     scoring — runs unchanged on it."""
 
-    def __init__(self, manifest, classes: List[str], sample_rate: int = 44100, duration: float = 10.0):
+    def __init__(self, manifest, classes: List[str], sample_rate: int = 44100,
+                 duration: float = 10.0, variability: float = 0.0):
         self.sample_rate = sample_rate
         self.duration = duration
+        self.variability = float(variability)
         self.classes = list(classes)
         cindex = {c: i for i, c in enumerate(self.classes)}
         self._events = {}
@@ -137,7 +170,8 @@ class SyntheticAudioSource:
 
     def get_audio(self, filename: str) -> np.ndarray:
         return synth_clip(
-            filename, self._events.get(filename, []), self.duration, self.sample_rate
+            filename, self._events.get(filename, []), self.duration,
+            self.sample_rate, variability=self.variability,
         )
 
 

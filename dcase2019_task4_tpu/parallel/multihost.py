@@ -75,6 +75,20 @@ def all_sum_hosts(vec: np.ndarray) -> np.ndarray:
     return np.asarray(gathered).sum(axis=0)
 
 
+def sync_hosts(name: str):
+    """Cross-process barrier (no-op single-process). Used to order shared-
+    filesystem checkpoint IO: process 0 is the only writer (experiment.run),
+    and readers on other processes must not open `baseline_best` before the
+    writer's os.replace has landed."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def make_global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:
     """Assemble per-host arrays into global jax.Arrays sharded over `mesh`
     (jax.make_array_from_process_local_data)."""

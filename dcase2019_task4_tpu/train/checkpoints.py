@@ -12,16 +12,21 @@ so restoring an untrusted checkpoint cannot execute code — unlike pickle
 (and unlike the reference's torch.load). bfloat16 leaves (not a native
 numpy dtype) are stored as uint16 bit patterns and re-viewed on load.
 
-Format (v1, legacy): a pickle of numpy-ified leaves + metadata. Still
-readable — ``restore_checkpoint`` sniffs the zip magic ``PK`` to pick the
-parser — but no longer written. (orbax's async machinery is avoided
-deliberately: its background commit threads deadlock under this
-environment's TPU tunnel.)
+Format (v1, legacy): a pickle of numpy-ified leaves + metadata. Readable
+only behind an explicit opt-in (``allow_legacy_pickle=True`` or
+``DCASE_ALLOW_LEGACY_PICKLE=1``), because unpickling executes arbitrary
+code — the safety property of the npz default must not be silently
+defeated by a file that merely lacks the zip magic. No longer written.
+(orbax's async machinery is avoided deliberately: its background commit
+threads deadlock under this environment's TPU tunnel.)
 
 Restore rebuilds the typed TrainState by unflattening the stored leaves
 into a template produced by the same factory that created the original
 (deterministic structure), which round-trips optax's nested states without
-format coupling.
+format coupling. v2 checkpoints carry a structural self-description —
+per-leaf keypaths and shapes — and restore fails loudly when the template
+disagrees (e.g. a same-leaf-count config change that would otherwise
+silently misassign leaves positionally).
 """
 
 from __future__ import annotations
@@ -72,6 +77,13 @@ def _json_default(o):
     raise TypeError(f"checkpoint metadata value {o!r} is not JSON-serializable")
 
 
+def _leaf_paths(tree) -> List[str]:
+    """Keypath string per pytree leaf, in flatten order — the structural
+    self-description stored beside the positional leaf arrays."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(kp) for kp, _ in flat]
+
+
 def save_checkpoint(path: str, train_state, metadata: Dict[str, Any]):
     """metadata must be JSON-serializable (scaler/codec state dicts, epoch,
     config dataclasses are converted to plain dicts; numpy scalars/arrays
@@ -84,6 +96,8 @@ def save_checkpoint(path: str, train_state, metadata: Dict[str, Any]):
         arrays.append(stored)
         dtypes.append(tag)
     meta_doc = {"version": 2, "n_leaves": len(leaves), "dtypes": dtypes,
+                "leaf_paths": _leaf_paths(train_state),
+                "leaf_shapes": [list(l.shape) for l in leaves],
                 "metadata": metadata}
     meta_json = json.dumps(meta_doc, default=_json_default)
 
@@ -105,7 +119,7 @@ def _load_npz(path: str, want_leaves: bool):
             dtypes = meta_doc["dtypes"]
             for i in range(meta_doc["n_leaves"]):
                 leaves.append(_decode_leaf(z[f"leaf_{i:05d}"], dtypes[i]))
-    return leaves, meta_doc["metadata"]
+    return leaves, meta_doc
 
 
 def _is_zip(path: str) -> bool:
@@ -113,13 +127,68 @@ def _is_zip(path: str) -> bool:
         return f.read(2) == _ZIP_MAGIC
 
 
-def restore_checkpoint(path: str, template_state):
+def _legacy_pickle_allowed(allow_legacy_pickle) -> bool:
+    if allow_legacy_pickle is None:
+        return os.environ.get("DCASE_ALLOW_LEGACY_PICKLE", "0") == "1"
+    return bool(allow_legacy_pickle)
+
+
+def _legacy_pickle_error(path: str) -> ValueError:
+    return ValueError(
+        f"{path} is not an npz (v2) checkpoint. Legacy v1 checkpoints are "
+        "pickles, and unpickling executes arbitrary code — load one ONLY if "
+        "you created it yourself, by passing allow_legacy_pickle=True or "
+        "setting DCASE_ALLOW_LEGACY_PICKLE=1."
+    )
+
+
+def _check_structure(meta_doc: Dict[str, Any], template_state, path: str):
+    """Fail loudly when the stored leaf manifest disagrees with the restore
+    template — positional unflattening would otherwise silently misassign
+    same-count leaves after a config change (VERDICT r3 item 7)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(template_state)
+    t_paths = [jax.tree_util.keystr(kp) for kp, _ in flat]
+    if meta_doc["n_leaves"] != len(t_paths):
+        raise ValueError(
+            f"checkpoint {path} holds {meta_doc['n_leaves']} leaves but the "
+            f"restore template has {len(t_paths)} — the configs differ"
+        )
+    s_paths = meta_doc.get("leaf_paths")
+    if s_paths is not None and list(s_paths) != t_paths:
+        diffs = [f"  leaf {i}: saved {a!r} != template {b!r}"
+                 for i, (a, b) in enumerate(zip(s_paths, t_paths)) if a != b]
+        raise ValueError(
+            f"checkpoint {path} tree structure does not match the restore "
+            "template:\n" + "\n".join(diffs[:8])
+        )
+    s_shapes = meta_doc.get("leaf_shapes")
+    if s_shapes is not None:
+        t_shapes = [list(np.shape(leaf)) for _, leaf in flat]
+        diffs = [
+            f"  {t_paths[i]}: saved {tuple(a)} != template {tuple(b)}"
+            for i, (a, b) in enumerate(zip(s_shapes, t_shapes)) if list(a) != list(b)
+        ]
+        if diffs:
+            raise ValueError(
+                f"checkpoint {path} leaf shapes do not match the restore "
+                "template (different model/optimizer config?):\n"
+                + "\n".join(diffs[:8])
+            )
+
+
+def restore_checkpoint(path: str, template_state, allow_legacy_pickle=None):
     """Restore into the structure of `template_state` (same config ⇒ same
-    treedef). Returns (train_state, metadata). Reads both the npz (v2)
-    and legacy pickle (v1) formats."""
+    treedef). Returns (train_state, metadata). Reads the npz (v2) format;
+    legacy pickle (v1) only behind `allow_legacy_pickle` (default: the
+    DCASE_ALLOW_LEGACY_PICKLE env switch). v2 restores validate the stored
+    leaf keypaths/shapes against the template and fail loudly on mismatch."""
     if _is_zip(path):
-        leaves, metadata = _load_npz(path, want_leaves=True)
+        leaves, meta_doc = _load_npz(path, want_leaves=True)
+        _check_structure(meta_doc, template_state, path)
+        metadata = meta_doc["metadata"]
     else:  # legacy v1 pickle — only open checkpoints you created yourself
+        if not _legacy_pickle_allowed(allow_legacy_pickle):
+            raise _legacy_pickle_error(path)
         with open(path, "rb") as f:
             payload = pickle.load(f)
         leaves, metadata = payload["leaves"], payload["metadata"]
@@ -128,9 +197,11 @@ def restore_checkpoint(path: str, template_state):
     return state, metadata
 
 
-def read_metadata(path: str) -> Dict[str, Any]:
+def read_metadata(path: str, allow_legacy_pickle=None) -> Dict[str, Any]:
     if _is_zip(path):
-        return _load_npz(path, want_leaves=False)[1]
+        return _load_npz(path, want_leaves=False)[1]["metadata"]
+    if not _legacy_pickle_allowed(allow_legacy_pickle):
+        raise _legacy_pickle_error(path)
     with open(path, "rb") as f:
         return pickle.load(f)["metadata"]
 

@@ -58,6 +58,7 @@ class Experiment:
         no_weak: bool = False,
         subpart_data: Optional[int] = None,
         synthetic_audio: bool = False,
+        synthetic_variability: float = 0.0,
         logger=None,
         mesh=None,
         seed: int = 0,
@@ -70,6 +71,7 @@ class Experiment:
         self.no_weak = no_weak
         self.subpart_data = subpart_data
         self.synthetic_audio = synthetic_audio
+        self.synthetic_variability = synthetic_variability
         self.log = logger or get_logger()
         self.mesh = mesh
         self.seed = seed
@@ -98,7 +100,9 @@ class Experiment:
     def _source_for(self, manifest: Manifest, tsv_path: str):
         if self.synthetic_audio:
             return SyntheticAudioSource(
-                manifest, self.classes, self.cfg.dsp.sample_rate, self.cfg.dsp.max_len_seconds
+                manifest, self.classes, self.cfg.dsp.sample_rate,
+                self.cfg.dsp.max_len_seconds,
+                variability=self.synthetic_variability,
             )
         return WavAudioSource(
             self.cfg.paths.audio_dir_for_meta(tsv_path), self.cfg.dsp.sample_rate
@@ -222,19 +226,27 @@ class Experiment:
         return self
 
     def _scaler_cache_key(self) -> str:
-        """Content hash over everything that determines the scaler moments:
-        the exact per-stream file lists (streams + splits + subpart already
-        applied) plus the full DSP config and the audio-source kind. Two
-        experiments with the same key see byte-identical feature streams."""
+        """Hash over everything that determines the scaler moments: the
+        exact per-stream file lists (streams + splits + subpart already
+        applied), the full DSP config, and the audio-source kind. Real-audio
+        streams additionally fold each wav's (size, mtime_ns) into the key so
+        a file replaced in place under the same name (re-download, fixed
+        corrupt clip) invalidates the cached moments; synthetic streams are
+        fully determined by (filename, variability) by construction."""
         import hashlib
 
         h = hashlib.sha1()
         h.update(repr(self.cfg.dsp).encode())
         h.update(repr(bool(self.synthetic_audio)).encode())
+        if self.synthetic_audio:
+            h.update(repr(float(self.synthetic_variability)).encode())
         for s in self.pipeline.streams:
             h.update(s.name.encode())
             for fn in s.filenames:
                 h.update(fn.encode())
+                if not self.synthetic_audio:
+                    st = os.stat(s.source.path_for(fn))
+                    h.update(f"{st.st_size},{st.st_mtime_ns}".encode())
         return h.hexdigest()[:16]
 
     def _fit_scaler(self):
@@ -243,8 +255,9 @@ class Experiment:
         main.py:249-250 — equal weight per clip, features WITHOUT noise).
         Moments reduce on device; only [n_mels] vectors come back per batch.
 
-        Set DCASE_SCALER_CACHE=<dir> to memoize the fit keyed by the exact
-        stream contents + DSP config — the moment pass streams every training
+        Set DCASE_SCALER_CACHE=<dir> to memoize the fit keyed by the stream
+        file lists + per-file size/mtime + DSP config (_scaler_cache_key) —
+        the moment pass streams every training
         clip through the host↔device link, which dominates setup time under
         the tunnel, and sweeps/ablations re-fit identical data per arm."""
         from dcase2019_task4_tpu.train.steps import make_scaler_stats
@@ -615,12 +628,19 @@ class Experiment:
             else:
                 global_valid = last_valid["weak_macro_f1"]
             meta = self.checkpoint_metadata(epoch, last_valid)
-            if t.checkpoint_epochs and (epoch + 1) % t.checkpoint_epochs == 0:
+            # multi-host: the train state is replicated and the merged
+            # metrics are identical on every host, so process 0 is the ONLY
+            # checkpoint writer — concurrent writers would race on the shared
+            # `path + ".tmp"` staging file (checkpoints.py save_checkpoint).
+            # save_best.apply still runs on every host (deterministic, keeps
+            # is_best consistent for the final restore below).
+            writer_host = self.process_index == 0
+            if writer_host and t.checkpoint_epochs and (epoch + 1) % t.checkpoint_epochs == 0:
                 ckpt.save_checkpoint(
                     os.path.join(model_dir, f"baseline_epoch_{epoch}"), self.state, meta
                 )
             is_best = bool(t.save_best and save_best.apply(global_valid))
-            if is_best:
+            if is_best and writer_host:
                 ckpt.save_checkpoint(best_path, self.state, meta)
             writer.write({
                 "epoch": epoch,
@@ -638,8 +658,18 @@ class Experiment:
                 )
                 break
         writer.close()
+        if self.process_count > 1:
+            # readers must not open baseline_best before process 0's final
+            # os.replace lands on the shared filesystem
+            from dcase2019_task4_tpu.parallel.multihost import sync_hosts
+
+            sync_hosts("checkpoints-flushed")
         if t.save_best and os.path.exists(best_path):
             self.state, meta = ckpt.restore_checkpoint(best_path, self.state)
+            if self.mesh is not None:
+                from dcase2019_task4_tpu.parallel.mesh import replicate_state
+
+                self.state = replicate_state(self.state, self.mesh)
             self.log.info(f"testing model: {best_path} (epoch {meta['epoch']})")
         return last_valid
 
@@ -655,4 +685,8 @@ class Experiment:
         self.scaler.load_state_dict(meta["scaler"])
         self._build_steps()
         self.state, _ = ckpt.restore_checkpoint(path, self.state)
+        if self.mesh is not None:
+            from dcase2019_task4_tpu.parallel.mesh import replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
         return meta

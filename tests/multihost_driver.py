@@ -3,9 +3,13 @@
 jax.distributed.initialize over localhost (Gloo CPU collectives), 2 local
 CPU devices per process.
 
-Usage: python tests/multihost_driver.py <process_id> <num_processes> <port> <out_json>
+Usage: python tests/multihost_driver.py <pid> <nprocs> <port> <out_json> [store_dir]
 With num_processes=1 it runs the single-process reference on the same
 GLOBAL device count (2·P devices) for the equivalence comparison.
+With store_dir set, it additionally drives the FULL `Experiment.run()`
+loop — per-epoch checkpointing, SaveBest, best-restore — plus a resumed
+run, under the real multi-process runtime (VERDICT r3 item 3: only
+process 0 may write checkpoints; resume must reproduce).
 """
 
 import json
@@ -15,6 +19,7 @@ import sys
 pid, nprocs, port, out_path = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 )
+store_dir = sys.argv[5] if len(sys.argv) > 5 else None
 n_local = 2 if nprocs > 1 else 4
 os.environ.pop("JAX_PLATFORMS", None)
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
@@ -76,6 +81,40 @@ out = {
     "eval_mesh_devices": eval_mesh_devices,
     "n_local_devices": len(jax.local_devices()),
 }
+
+if store_dir is not None:
+    # full run(): 2 epochs with per-epoch checkpoints + SaveBest + final
+    # best-restore — the write paths that raced before the process-0 guard
+    run_valid = exp.run(store_dir=store_dir, n_epoch=2)
+    model_dir = os.path.join(store_dir, "model")
+    from dcase2019_task4_tpu.train import checkpoints as ckpt
+
+    epoch1 = os.path.join(model_dir, "baseline_epoch_1")
+    best = os.path.join(model_dir, "baseline_best")
+    # resumed run from the epoch-1 checkpoint: a fresh Experiment, one more
+    # epoch (2), through the same multi-process machinery
+    exp2 = Experiment(cfg, mean_teacher=True, subpart_data=24,
+                      synthetic_audio=True, seed=0, mesh=make_mesh())
+    resumed_valid = exp2.run(store_dir=store_dir + "_resumed", n_epoch=3,
+                             resume_from=epoch1)
+    resumed_hist = []
+    rh = os.path.join(store_dir + "_resumed", "metrics.jsonl")
+    if os.path.exists(rh):
+        with open(rh) as f:
+            resumed_hist = [json.loads(l)["epoch"] for l in f]
+    out.update({
+        "run_event_f1": float(run_valid["event_macro_f1"]),
+        "run_weak_f1": float(run_valid["weak_macro_f1"]),
+        "resumed_event_f1": float(resumed_valid["event_macro_f1"]),
+        "resumed_weak_f1": float(resumed_valid["weak_macro_f1"]),
+        "ckpt_files": sorted(os.listdir(model_dir)),
+        "best_meta_epoch": int(ckpt.read_metadata(best)["epoch"]),
+        "epoch1_meta_epoch": int(ckpt.read_metadata(epoch1)["epoch"]),
+        "resumed_epochs_written": resumed_hist,  # shared file; written by p0
+        "tmp_leftovers": sorted(
+            f for f in os.listdir(model_dir) if f.endswith(".tmp")),
+    })
+
 with open(out_path, "w") as f:
     json.dump(out, f)
 print("driver done:", out, flush=True)

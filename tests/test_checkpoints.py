@@ -65,9 +65,13 @@ def test_new_checkpoints_are_npz_not_pickle(tmp_path):
         assert "__meta__" in z.files
 
 
-def test_legacy_pickle_checkpoint_still_restores(tmp_path):
-    """Round-1/2 checkpoints were pickles; the reader keeps supporting them."""
+def test_legacy_pickle_checkpoint_restores_only_behind_opt_in(tmp_path):
+    """Round-1/2 checkpoints were pickles. Unpickling executes code, so the
+    reader requires an explicit opt-in; without it a non-npz file must raise
+    instead of silently falling back to pickle.load (ADVICE r3)."""
     import pickle
+
+    import pytest
 
     _, _, state = _state(0)
     leaves = [np.asarray(l) for l in jax.tree.leaves(state)]
@@ -75,11 +79,42 @@ def test_legacy_pickle_checkpoint_still_restores(tmp_path):
     with open(p, "wb") as f:
         pickle.dump({"version": 1, "leaves": leaves, "metadata": {"epoch": 9}}, f)
     _, _, template = _state(seed=42)
-    restored, meta = ckpt.restore_checkpoint(p, template)
+    with pytest.raises(ValueError, match="allow_legacy_pickle"):
+        ckpt.restore_checkpoint(p, template)
+    with pytest.raises(ValueError, match="allow_legacy_pickle"):
+        ckpt.read_metadata(p)
+    restored, meta = ckpt.restore_checkpoint(p, template, allow_legacy_pickle=True)
     assert meta["epoch"] == 9
-    assert ckpt.read_metadata(p)["epoch"] == 9
+    assert ckpt.read_metadata(p, allow_legacy_pickle=True)["epoch"] == 9
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_rejects_mismatched_template(tmp_path):
+    """v2 checkpoints self-describe their leaf keypaths and shapes; restoring
+    into a template from a different config must fail loudly instead of
+    silently misassigning positionally-matching leaves (VERDICT r3 item 7)."""
+    import pytest
+
+    _, _, state = _state(0)
+    p = str(tmp_path / "ck")
+    ckpt.save_checkpoint(p, state, {"epoch": 0})
+
+    # same leaf COUNT, different shapes (wider RNN) — must be rejected
+    other = ModelConfig(nclass=3, nb_filters=(8, 8, 8), n_rnn_cell=16)
+    model = CRNN(other)
+    template = init_train_state(model, optax.adam(1e-3), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shapes do not match"):
+        ckpt.restore_checkpoint(p, template)
+
+    # different tree structure (the saved state has EMA leaves, the
+    # template does not) — must be rejected on leaf count
+    model = CRNN(TINY)
+    template_noema = init_train_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0), with_ema=False
+    )
+    with pytest.raises(ValueError, match="leaves|structure"):
+        ckpt.restore_checkpoint(p, template_noema)
 
 
 def test_bfloat16_leaves_roundtrip(tmp_path):

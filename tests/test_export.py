@@ -141,5 +141,5 @@ def test_exported_batch_shape_is_enforced(tmp_path):
     export_serving(ev, path, batch_size=2)
     served = load_serving(path)
     audio, frames = _batch(ev, 4)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="Shape mismatch"):
         served(audio, frames)

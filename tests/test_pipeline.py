@@ -78,6 +78,52 @@ def test_synth_clip_deterministic_and_class_dependent():
     assert len(a1) == 8000
 
 
+def test_synth_clip_variability_zero_is_bit_identical():
+    """variability=0 must not perturb the round-3 deterministic source at
+    all (the golden-pinned tests and the round-3 ablation record depend on
+    it) — every nuisance RNG draw is gated."""
+    a = synth_clip("g.wav", [(2, 0.2, 0.8)], 1.0, 8000)
+    a0 = synth_clip("g.wav", [(2, 0.2, 0.8)], 1.0, 8000, variability=0.0)
+    np.testing.assert_array_equal(a, a0)
+
+
+def test_synth_clip_variability_adds_nuisance_not_label_drift():
+    """With variability>0: per-clip renders stay deterministic, different
+    clips of the SAME class differ in gain/noise floor/timbre (the nuisance
+    the consistency term must smooth over), and the event's labeled span
+    still carries the energy (ground truth untouched)."""
+    evs = [(4, 0.25, 0.75)]
+    a1 = synth_clip("v1.wav", evs, 1.0, 8000, variability=1.0)
+    a1b = synth_clip("v1.wav", evs, 1.0, 8000, variability=1.0)
+    a2 = synth_clip("v2.wav", evs, 1.0, 8000, variability=1.0)
+    np.testing.assert_array_equal(a1, a1b)  # deterministic per filename
+    # nuisance spread: same class+span, different clips → different render
+    # statistics (noise floor measured outside the event span)
+    floor1 = np.std(a1[:int(0.2 * 8000)])
+    floor2 = np.std(a2[:int(0.2 * 8000)])
+    assert abs(np.log(floor1 / floor2)) > 0.05
+    # the labeled event span still carries clearly more energy than the
+    # background across clips (individual clips may draw a low gain or a
+    # high noise floor — that's the nuisance — but on average the label
+    # stays learnable)
+    ratios = []
+    for name in ("v1.wav", "v2.wav", "v3.wav", "v4.wav"):
+        a = synth_clip(name, evs, 1.0, 8000, variability=1.0)
+        ev_rms = np.sqrt(np.mean(a[2000:6000] ** 2))
+        bg_rms = np.sqrt(np.mean(a[:2000] ** 2))
+        ratios.append(ev_rms / bg_rms)
+    assert np.mean(ratios) > 1.5, ratios
+
+
+def test_synthetic_source_variability_plumbed():
+    m = subpart_manifest(load_manifest(CFG.paths.synthetic), 3)
+    s0 = SyntheticAudioSource(m, CFG.classes, 8000, 1.0)
+    sv = SyntheticAudioSource(m, CFG.classes, 8000, 1.0, variability=1.0)
+    f = m.filenames[0]
+    assert not np.allclose(s0.get_audio(f), sv.get_audio(f))
+    np.testing.assert_array_equal(sv.get_audio(f), sv.get_audio(f))
+
+
 def test_multihost_shards_reassemble_global_batch_bitwise():
     """Two simulated hosts, each running its own BatchPipeline with the
     shared seed, must together reproduce the single-host shard-major global

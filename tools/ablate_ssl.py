@@ -26,13 +26,20 @@ worth something at equal labeled budget), else 1. The mt-vs-mt_cc0 gap —
 the consistency GRADIENT's isolated contribution (the two arms are
 identical in batch layout, BN statistics, steps/epoch, and teacher
 machinery) — is always reported; --strict_consistency additionally
-requires mt >= mt_cc0 - --tolerance. Measured on the synthetic tone-bank
-source the gradient's sign is slightly negative (see RESULTS.md): the
-consistency pull toward the noisy-input teacher buys invariances only
-real audio exhibits. Results are appended as JSON to --out and summarized
-on stdout for RESULTS.md.
+requires mt >= mt_cc0 - --tolerance.
 
-Run (TPU): python tools/ablate_ssl.py --subpart 120 --epochs 30
+Round 3 measured the DETERMINISTIC tone-bank source (--variability 0) and
+found it structurally unable to reward perturbation invariance: every clip
+renders identically every time, so the teacher's noise view carries no
+invariance worth learning and zeroing the consistency gradient HELPED
+(RESULTS.md round-3 section). Round 4 therefore defaults --variability 1.0:
+per-clip noise floor/gain spread and per-event timbre/detune/wobble
+(audio_io.synth_clip) put real nuisance variation in the data distribution
+— the thing input-perturbation consistency exists to smooth over
+(reference main.py:93-145). Results are appended as JSON to --out and
+summarized on stdout for RESULTS.md.
+
+Run (TPU): python tools/ablate_ssl.py --subpart 120 --epochs 80 --seeds 4
 Run (CPU fallback): DCASE_PLATFORM=cpu python tools/ablate_ssl.py ...
 """
 
@@ -53,7 +60,8 @@ from dcase2019_task4_tpu.cli import _apply_platform_override  # noqa: E402
 _apply_platform_override()
 
 
-def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root):
+def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
+            variability=0.0):
     import numpy as np
 
     from dcase2019_task4_tpu.config import Config, TrainConfig
@@ -66,7 +74,7 @@ def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root):
     ))
     exp = Experiment(
         cfg, mean_teacher=mean_teacher, subpart_data=subpart,
-        synthetic_audio=True, seed=seed,
+        synthetic_audio=True, synthetic_variability=variability, seed=seed,
     )
     store = os.path.join(store_root, f"{name}_s{seed}")
     if os.path.exists(store):  # leftover from an interrupted run: start clean
@@ -117,6 +125,13 @@ def main():
     ap.add_argument("--tolerance", type=float, default=0.0,
                     help="mt may trail mt_cc0 by this much under "
                          "--strict_consistency")
+    ap.add_argument("--variability", type=float, default=1.0,
+                    help="synthetic-source nuisance variation strength "
+                         "(audio_io.synth_clip). The deterministic 0.0 "
+                         "source is structurally unable to reward "
+                         "perturbation invariance (RESULTS.md round 3); "
+                         "the default 1.0 makes the consistency term's "
+                         "job learnable.")
     ap.add_argument("--store", default="/tmp/ablate_ssl")
     ap.add_argument("--out", default=os.path.join(REPO, "ABLATION_ssl.json"))
     ap.add_argument("--arms", default="supervised,mt,mt_cc0")
@@ -131,11 +146,21 @@ def main():
     if os.path.exists(args.out):  # accumulate across same-config invocations
         with open(args.out) as f:
             prev = json.load(f)
-        if prev.get("subpart") == args.subpart and prev.get("epochs") == args.epochs:
+        prev_cfg = (prev.get("subpart"), prev.get("epochs"),
+                    prev.get("variability", 0.0))
+        if prev_cfg == (args.subpart, args.epochs, args.variability):
             results = prev.get("runs", [])
             done = {(r["arm"], r["seed"]) for r in results}
             if done:
                 print(f"resuming: {len(done)} arm-runs already in {args.out}")
+        else:
+            # never silently overwrite another config's accumulated runs
+            print(f"ERROR: {args.out} holds results for "
+                  f"(subpart, epochs, variability)={prev_cfg}, requested "
+                  f"{(args.subpart, args.epochs, args.variability)}. "
+                  "Pass a different --out (or matching config flags).",
+                  file=sys.stderr)
+            sys.exit(2)
 
     def mean_of(arm, key):
         vals = [r[key] for r in results if r["arm"] == arm]
@@ -151,6 +176,7 @@ def main():
             "weak_f1": mean_of(a, "best_weak_macro_f1"),
         } for a in arms_present}
         doc = {"subpart": args.subpart, "epochs": args.epochs,
+               "variability": args.variability,
                "seeds": len({r["seed"] for r in results}),
                "summary": summary, "runs": results}
         with open(args.out, "w") as f:
@@ -164,7 +190,8 @@ def main():
             d = arm_defs[arm]
             print(f"=== arm {arm} seed {seed} ===", flush=True)
             r = run_arm(arm, d["mean_teacher"], d["max_cc"],
-                        args.subpart, args.epochs, seed, args.store)
+                        args.subpart, args.epochs, seed, args.store,
+                        variability=args.variability)
             print(json.dumps(r), flush=True)
             results.append(r)
             write_doc()  # crash-safe: partial results land after every arm
@@ -172,10 +199,16 @@ def main():
     summary = write_doc()
     print("\n=== ablation summary (best validation F1, mean over seeds) ===")
     for a, s in summary.items():
-        print(f"  {a:<11s} event {s['event_f1']:.4f}  weak {s['weak_f1']:.4f}")
+        ev = "n/a" if s["event_f1"] is None else f"{s['event_f1']:.4f}"
+        wk = "n/a" if s["weak_f1"] is None else f"{s['weak_f1']:.4f}"
+        print(f"  {a:<11s} event {ev}  weak {wk}")
+
+    def _have(*arms):
+        return all(a in summary and summary[a]["event_f1"] is not None
+                   for a in arms)
 
     ok = True
-    if "mt" in summary and "supervised" in summary and summary["supervised"]["event_f1"] is not None:
+    if _have("mt", "supervised"):
         gain = summary["mt"]["event_f1"] - summary["supervised"]["event_f1"]
         ssl_ok = gain > args.margin
         ok = ok and ssl_ok
@@ -184,7 +217,7 @@ def main():
               ": the unlabeled stream",
               "is worth real F1 at equal labeled budget" if ssl_ok
               else "adds nothing — the Mean-Teacher recipe is broken")
-    if "mt" in summary and "mt_cc0" in summary and summary["mt_cc0"]["event_f1"] is not None:
+    if _have("mt", "mt_cc0"):
         gap = summary["mt"]["event_f1"] - summary["mt_cc0"]["event_f1"]
         print(f"consistency-GRADIENT contribution (mt - mt_cc0 event F1): {gap:+.4f}")
         if args.strict_consistency:
