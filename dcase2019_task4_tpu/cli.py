@@ -75,6 +75,15 @@ def _common_train_args(parser):
                         help="Ramped Adam hyperparameter schedule "
                         "(train/schedules.py — the reference's commented-out "
                         "adjust_learning_rate recipe, main.py:32-42,81).")
+    parser.add_argument("--device_cache", action="store_true", default=False,
+                        help="Pin the whole training set in device memory "
+                        "and run each epoch as one scan dispatch (small "
+                        "datasets only; ~8 GiB cap). Removes the per-step "
+                        "host feed — numerically identical to streaming.")
+    parser.add_argument("--eval_every", type=int, default=1,
+                        help="Validate/checkpoint/SaveBest every Nth epoch "
+                        "(and the last). 1 = reference parity "
+                        "(main.py:316-331 validates every epoch).")
     parser.add_argument("--multihost", action="store_true", default=False,
                         help="Bring up the jax multi-host runtime "
                         "(jax.distributed.initialize) before building the "
@@ -129,6 +138,7 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
         mesh=mesh,
         seed=args.seed,
         ramped_adam=getattr(args, "ramped_adam", False),
+        device_cache=getattr(args, "device_cache", False),
     )
 
 
@@ -148,7 +158,7 @@ def train_meanteacher(argv=None):
     exp = _build_experiment(args, mean_teacher=True, no_synthetic=args.no_synthetic)
     exp.build()
     result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume,
-                     early_stopping=args.early_stopping)
+                     early_stopping=args.early_stopping, eval_every=args.eval_every)
     # final test on validation + public eval (main.py:356-373)
     _final_test(exp, store, args)
     return result
@@ -168,7 +178,7 @@ def train_crnn(argv=None):
     exp = _build_experiment(args, mean_teacher=False, no_weak=args.no_weak)
     exp.build()
     result = exp.run(store_dir=store, n_epoch=args.epochs, resume_from=args.resume,
-                     early_stopping=args.early_stopping)
+                     early_stopping=args.early_stopping, eval_every=args.eval_every)
     _final_test(exp, store, args)
     return result
 

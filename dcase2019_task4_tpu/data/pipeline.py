@@ -246,6 +246,89 @@ class BatchPipeline:
             yield item
 
 
+class DeviceResidentData:
+    """The whole (small) training set pinned in device memory.
+
+    The reference streams features from an .npy disk cache every step
+    (DataLoad.py:25-154); the TPU-native default streams packed audio over
+    the host↔device link. For SMALL datasets — subpart runs, ablations,
+    synthetic experiments — the entire set fits in HBM (int16 audio +
+    encoded targets; the flagship 792-clip ablation set is ~0.7 GB against
+    16 GB on v5e), and pinning it there removes the per-step host transfer
+    and dispatch entirely: train_epoch becomes ONE lax.scan dispatch over
+    the sampler's index array (train.steps.make_device_epoch), with batches
+    gathered on device. Batches are bit-identical to the streamed path's
+    (tests/test_device_cache.py; trajectories then agree to Adam-amplified
+    fp-fusion noise between the two compiled programs).
+
+    Guarded by `max_bytes` (default 8 GB): the full DESED train set at
+    44.1 kHz (~18k clips, ~16 GB int16) does NOT fit alongside the model —
+    callers get a loud error, not an OOM.
+    """
+
+    def __init__(self, pipeline: "BatchPipeline", max_bytes: int = 8 << 30):
+        import jax
+
+        assert pipeline.n_shards == 1 and pipeline.process_count == 1, (
+            "device-resident data is single-device/single-process "
+            "(the shard_map step path re-homes streamed batches instead)"
+        )
+        sizes = [len(s) for s in pipeline.streams]
+        n_total = sum(sizes)
+        self.offsets = np.cumsum([0] + sizes[:-1]).astype(np.int32)
+        pad_len = pipeline.max_samples + pipeline.n_fft  # host_reflect_pad layout
+        t_shape = pipeline.streams[0].targets.shape[1:]
+        est = n_total * (pad_len * 2 + 4 + int(np.prod(t_shape)) * 4)
+        if est > max_bytes:
+            raise ValueError(
+                f"device-resident dataset would need ~{est / 2**30:.1f} GiB "
+                f"(> {max_bytes / 2**30:.1f} GiB cap) for {n_total} clips — "
+                "use the streamed pipeline (or raise max_bytes)"
+            )
+        audio_rows, frame_rows, target_rows = [], [], []
+        chunk = 64  # bound host-side f32 staging memory
+        for s in pipeline.streams:
+            for lo in range(0, len(s), chunk):
+                clips = [s.get_audio(i) for i in range(lo, min(lo + chunk, len(s)))]
+                padded, frames = host_reflect_pad(
+                    clips, pipeline.max_samples, pipeline.n_fft,
+                    pipeline.hop_length, pipeline.max_frames,
+                )
+                audio_rows.append(quantize_audio_int16(padded))
+                frame_rows.append(frames)
+            target_rows.append(s.targets)
+        audio = np.concatenate(audio_rows)
+        frames = np.concatenate(frame_rows)
+        targets = np.concatenate(target_rows).astype(np.float32)
+        # pad rows to a multiple of the batch size (repeat the last row) so
+        # fixed-size chunk views need no boundary handling on device: the
+        # scaler fit scans [K, B] reshapes, masking the tail by n_real; the
+        # sampler never emits indices >= n_real so epoch gathers are
+        # unaffected. Eager device-side slicing/concat here would compile
+        # one fused program PER OP through the tunnel (CLAUDE.md) — all
+        # shaping happens host-side, then one device_put per array.
+        self.n_real = n_total
+        B = max(pipeline.sampler.batch_size, 8)
+        pad = (-n_total) % B
+        if pad:
+            audio = np.concatenate([audio, np.repeat(audio[-1:], pad, 0)])
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+            targets = np.concatenate([targets, np.repeat(targets[-1:], pad, 0)])
+        self.data = {
+            "audio": jax.device_put(audio),
+            "frames": jax.device_put(frames),
+            "target": jax.device_put(targets),
+        }
+        self.nbytes = est
+
+    def epoch_indices(self, sampler: MultiStreamSampler, epoch: int) -> np.ndarray:
+        """[steps, B] global row indices for one epoch — the sampler's
+        (stream_id, within-stream idx) pairs mapped through the stream
+        offsets. The only per-epoch host→device payload."""
+        pairs = sampler.epoch_batches(epoch)  # [steps, B, 2]
+        return (self.offsets[pairs[..., 0]] + pairs[..., 1]).astype(np.int32)
+
+
 def iter_eval_batches(
     stream: Stream,
     batch_size: int,

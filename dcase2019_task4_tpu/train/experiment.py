@@ -57,19 +57,35 @@ class Experiment:
         no_synthetic: bool = False,
         no_weak: bool = False,
         subpart_data: Optional[int] = None,
+        subpart_unlabeled: Optional[int] = None,
         synthetic_audio: bool = False,
         synthetic_variability: float = 0.0,
         logger=None,
         mesh=None,
         seed: int = 0,
         ramped_adam: bool = False,
+        device_cache: bool = False,
     ):
         self.cfg = cfg
         self.ramped_adam = ramped_adam
+        # pin the whole training set in HBM and run each epoch as ONE
+        # lax.scan dispatch (data.pipeline.DeviceResidentData) — for small
+        # datasets (subpart runs / ablations) where the per-step host feed
+        # dominates wall-clock; same batches + RNG draws as the streamed path
+        self.device_cache = device_cache
         self.mean_teacher = mean_teacher
         self.no_synthetic = no_synthetic
         self.no_weak = no_weak
         self.subpart_data = subpart_data
+        # separate cap for the unlabeled manifest (default: same as
+        # subpart_data). The real dataset's unlabeled:labeled ratio is ~5:1
+        # (14412 vs 1578+2045 files); a single cap applied to all three
+        # manifests starves the Mean-Teacher recipe of the thing it feeds on,
+        # so SSL-value experiments (tools/ablate_ssl.py) keep the labeled
+        # budget fixed and raise only this.
+        self.subpart_unlabeled = (
+            subpart_unlabeled if subpart_unlabeled is not None else subpart_data
+        )
         self.synthetic_audio = synthetic_audio
         self.synthetic_variability = synthetic_variability
         self.log = logger or get_logger()
@@ -136,7 +152,7 @@ class Experiment:
         cfg, t = self.cfg, self.cfg.train
         p = cfg.paths
         weak_m = subpart_manifest(load_manifest(p.weak), self.subpart_data, t.subpart_seed)
-        unlabel_m = subpart_manifest(load_manifest(p.unlabel), self.subpart_data, t.subpart_seed)
+        unlabel_m = subpart_manifest(load_manifest(p.unlabel), self.subpart_unlabeled, t.subpart_seed)
         synth_m = subpart_manifest(load_manifest(p.synthetic), self.subpart_data, t.subpart_seed)
 
         # 80/20 splits, seed 26 (main.py:215-223)
@@ -220,8 +236,29 @@ class Experiment:
         self.valid_synth_stream = self._make_stream("valid_synth", valid_synth_m, p.synthetic)
         self.valid_weak_stream = self._make_stream("valid_weak", valid_weak_m, p.weak)
 
+        self._device_data = None
+        self._epoch_fn = None
+        if self.device_cache:
+            if self.mesh is not None or self.process_count > 1:
+                raise ValueError(
+                    "device_cache is single-device/single-process (the "
+                    "shard_map step path streams per-host batches instead)"
+                )
+            from dcase2019_task4_tpu.data.pipeline import DeviceResidentData
+
+            t0 = time.time()
+            self._device_data = DeviceResidentData(self.pipeline)
+            self.log.info(
+                f"device-resident dataset: {self._device_data.nbytes / 2**20:.0f} "
+                f"MiB pinned in {time.time() - t0:.1f}s "
+                "(one scan dispatch per epoch)"
+            )
         self._fit_scaler()
         self._build_steps()
+        if self.device_cache:
+            from dcase2019_task4_tpu.train.steps import make_device_epoch
+
+            self._epoch_fn = make_device_epoch(self.train_step)
         self._built = True
         return self
 
@@ -279,16 +316,46 @@ class Experiment:
         total = None
         total_sq = None
         count = 0
-        for stream in self.pipeline.streams:
-            for batch in iter_eval_batches(stream, B, d.max_samples, d.n_window, d.hop_length, d.max_frames):
-                nv = batch["n_valid"]
-                # one code path for full and tail batches: padded rows are
-                # masked on device by the traced n_valid scalar
-                s, sq = stats(batch["audio"], batch["frames"], jnp.int32(nv))
-                s, sq = np.asarray(s, np.float64), np.asarray(sq, np.float64)
-                total = s if total is None else total + s
-                total_sq = sq if total_sq is None else total_sq + sq
-                count += nv
+        if self._device_data is not None:
+            # audio is already pinned in HBM (rows padded to a multiple of
+            # B) — the whole moment pass is ONE jitted scan over [K, B]
+            # chunk views: no host→device re-streaming, no per-chunk eager
+            # ops (each would compile a separate program through the tunnel)
+            dd = self._device_data
+            n = dd.n_real
+            K = dd.data["audio"].shape[0] // B
+
+            @jax.jit
+            def fit_all(audio, frames):
+                a = audio.reshape(K, B, audio.shape[1])
+                f = frames.reshape(K, B)
+                nvs = jnp.minimum(n - jnp.arange(K) * B, B).astype(jnp.int32)
+
+                def body(carry, xs):
+                    s_tot, sq_tot = carry
+                    ak, fk, nv = xs
+                    s, sq = stats(ak, fk, nv)
+                    return (s_tot + s, sq_tot + sq), None
+
+                zero = jnp.zeros(self.cfg.dsp.n_mels, jnp.float32)
+                (s, sq), _ = jax.lax.scan(body, (zero, zero), (a, f, nvs))
+                return s, sq
+
+            s, sq = fit_all(dd.data["audio"], dd.data["frames"])
+            total = np.asarray(s, np.float64)
+            total_sq = np.asarray(sq, np.float64)
+            count = n
+        else:
+            for stream in self.pipeline.streams:
+                for batch in iter_eval_batches(stream, B, d.max_samples, d.n_window, d.hop_length, d.max_frames):
+                    nv = batch["n_valid"]
+                    # one code path for full and tail batches: padded rows are
+                    # masked on device by the traced n_valid scalar
+                    s, sq = stats(batch["audio"], batch["frames"], jnp.int32(nv))
+                    s, sq = np.asarray(s, np.float64), np.asarray(sq, np.float64)
+                    total = s if total is None else total + s
+                    total_sq = sq if total_sq is None else total_sq + sq
+                    count += nv
         self.scaler.mean_ = total / count
         self.scaler.mean_of_square_ = total_sq / count
         self.scaler._finalize()
@@ -400,6 +467,22 @@ class Experiment:
         meters = AverageMeterSet()
         rng = jax.random.PRNGKey(hash((self.seed, epoch)) % (2**31))
         start = time.time()
+        if self._device_data is not None:
+            # device-resident fast path: whole epoch in one scan dispatch,
+            # same batches (same sampler), bit-identical RNG split chain
+            dd = self._device_data
+            idx = dd.epoch_indices(self.pipeline.sampler, epoch)
+            acc = self.train_step.zero_metrics()
+            self.state, acc = self._epoch_fn(self.state, dd.data, idx, rng, acc)
+            n = idx.shape[0]
+            sums = jax.device_get(acc)
+            loss = float(sums["loss"]) / n
+            assert not (np.isnan(loss) or loss > 1e5), f"Loss explosion: {loss}"
+            assert loss >= 0, "Loss problem, cannot be negative"
+            for k in self.train_step.metric_keys:
+                meters.update(k, float(sums[k]) / n, n)
+            self.log.info(f"Epoch: {epoch}\tTime {time.time() - start:.2f}\t{meters}")
+            return meters
         n = 0
         sharding, put_fn = None, None
         if self.mesh is not None:
@@ -586,6 +669,7 @@ class Experiment:
         n_epoch: Optional[int] = None,
         resume_from: Optional[str] = None,
         early_stopping: Optional[int] = None,
+        eval_every: int = 1,
     ) -> Dict:
         """The reference's 100-epoch loop with per-epoch validation,
         checkpointing and SaveBest on event-F1 + weak-F1 (main.py:316-354).
@@ -594,7 +678,11 @@ class Experiment:
         which the reference lacks (SURVEY.md §5 checkpoint/resume).
         `early_stopping` = patience in epochs on the same SaveBest criterion
         (the reference defines EarlyStopping, utils/utils.py:286-334, but
-        never wires it; here `--early_stopping N` makes it reachable)."""
+        never wires it; here `--early_stopping N` makes it reachable).
+        `eval_every` = validate/checkpoint/SaveBest only on every Nth epoch
+        (and always the last) — host-side decode+scoring dominates epoch
+        wall-clock at small step counts, so long-horizon runs (e.g. the SSL
+        ablation's 3000+-step budget) thin it; 1 = reference parity."""
         if not self._built:
             self.build()
         t = self.cfg.train
@@ -622,6 +710,13 @@ class Experiment:
         for epoch in range(start_epoch, n_epoch):
             t0 = time.time()
             meters = self.train_epoch(epoch)
+            if eval_every > 1 and (epoch + 1) % eval_every != 0 and epoch != n_epoch - 1:
+                writer.write({
+                    "epoch": epoch,
+                    "epoch_time_s": round(time.time() - t0, 2),
+                    **meters.averages(""),
+                })
+                continue
             last_valid = self.validate(epoch)
             if self.strong_slice is not None:
                 global_valid = last_valid["event_macro_f1"] + last_valid["weak_macro_f1"]

@@ -96,8 +96,9 @@ class TrainStep:
     lives on device; fetch it once per epoch and divide by the step count
     for exact per-batch means (replaces host-side per-step metric RTTs)."""
 
-    def __init__(self, fn, metric_keys):
+    def __init__(self, fn, metric_keys, raw_fn=None):
         self._fn = fn
+        self.raw_fn = raw_fn  # unjitted body, for make_device_epoch's scan
         self.metric_keys = tuple(metric_keys)
 
     def zero_metrics(self) -> Dict[str, jnp.ndarray]:
@@ -290,7 +291,47 @@ def make_train_step(
             # identical updates on every shard, psum'd BN stats)
             check_vma=False,
         )
-    return TrainStep(jax.jit(step_fn, donate_argnums=donate_argnums), metric_keys)
+    return TrainStep(jax.jit(step_fn, donate_argnums=donate_argnums), metric_keys,
+                     raw_fn=step_fn)
+
+
+def make_device_epoch(train_step: TrainStep):
+    """One jitted dispatch per EPOCH over a device-resident dataset
+    (data.pipeline.DeviceResidentData).
+
+    The per-step host loop costs one dispatch + one ~21 MB host→device audio
+    transfer per step; under this environment's 10-35 MB/s tunnel that is
+    ~2.1 s/step against ~40 ms of device compute (EPOCH_BENCH.json). With the
+    dataset pinned in HBM the whole epoch runs as one `lax.scan` over the
+    sampler's [steps, B] index array: batches are leading-axis gathers, and
+    the per-step RNG split chain runs inside the scan carry — bit-identical
+    draws to the host loop's `rng, sub = jax.random.split(rng)` sequence.
+    Batch inputs are bit-identical to the streamed path; trajectories agree
+    to Adam-amplified fp-fusion noise, ~1e-5/step (tests/test_device_cache.py).
+
+    Returns epoch_fn(state, data, idx, rng, acc) -> (state, acc) where
+    `data` = {"audio": [N, Lp] i16, "frames": [N] i32, "target": [N, T', C]},
+    `idx` = [steps, B] int32 global row indices, `rng` = the epoch PRNG key,
+    and `acc` accumulates the step's metric sums exactly like the loop path.
+    Single-device only (the shard_map step re-homes batches; callers guard)."""
+    body_fn = train_step.raw_fn
+
+    def epoch_fn(state, data, idx, rng, acc):
+        def body(carry, idx_t):
+            state, rng, acc = carry
+            rng, sub = jax.random.split(rng)
+            batch = {
+                "audio": data["audio"][idx_t],
+                "frames": data["frames"][idx_t],
+                "target": data["target"][idx_t],
+            }
+            state, _, acc = body_fn(state, batch, sub, acc)
+            return (state, rng, acc), None
+
+        (state, rng, acc), _ = jax.lax.scan(body, (state, rng, acc), idx)
+        return state, acc
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 4))
 
 
 def _shard_eval(fn, mesh, n_batch_args: int, n_const_args: int = 0,

@@ -36,10 +36,24 @@ invariance worth learning and zeroing the consistency gradient HELPED
 per-clip noise floor/gain spread and per-event timbre/detune/wobble
 (audio_io.synth_clip) put real nuisance variation in the data distribution
 — the thing input-perturbation consistency exists to smooth over
-(reference main.py:93-145). Results are appended as JSON to --out and
-summarized on stdout for RESULTS.md.
+(reference main.py:93-145).
 
-Run (TPU): python tools/ablate_ssl.py --subpart 120 --epochs 80 --seeds 4
+Two scale requirements learned the hard way (round-4 diagnosis,
+tools/diag_mt_var.py): the reference's EMA schedule
+alpha = min(1 - 1/(step+1), 0.999) (main.py:45-49) means that for total
+step budgets <= 1000 the cap NEVER binds and the teacher is exactly the
+uniform arithmetic mean of the whole student trajectory INCLUDING random
+init — at 800 steps the teacher scored weak F1 0.00 and the consistency
+loss (weight ramping to 2) dragged the student toward it. The recipe needs
+(a) a total step budget of >= ~3000 so alpha caps early and the teacher
+becomes a trailing average of a converged student (reference scale: ~21k
+steps, cap binds at step 1000 = 5%), and (b) an unlabeled:labeled ratio
+near the real dataset's ~5:1 (14412 unlabeled vs 3623 labeled files) —
+a single subpart cap applied to all three manifests starves MT of
+unlabeled data (120 unlabeled vs 192 labeled train clips). Hence
+--epochs 250 --eval_every 10 --subpart_unlabeled 600 defaults.
+
+Run (TPU): python tools/ablate_ssl.py --seeds 4
 Run (CPU fallback): DCASE_PLATFORM=cpu python tools/ablate_ssl.py ...
 """
 
@@ -61,7 +75,8 @@ _apply_platform_override()
 
 
 def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
-            variability=0.0):
+            variability=0.0, subpart_unlabeled=None, eval_every=1,
+            device_cache=True):
     import numpy as np
 
     from dcase2019_task4_tpu.config import Config, TrainConfig
@@ -74,7 +89,9 @@ def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
     ))
     exp = Experiment(
         cfg, mean_teacher=mean_teacher, subpart_data=subpart,
+        subpart_unlabeled=subpart_unlabeled,
         synthetic_audio=True, synthetic_variability=variability, seed=seed,
+        device_cache=device_cache,
     )
     store = os.path.join(store_root, f"{name}_s{seed}")
     if os.path.exists(store):  # leftover from an interrupted run: start clean
@@ -82,7 +99,7 @@ def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
 
         shutil.rmtree(store)
     t0 = time.time()
-    exp.run(store_dir=store, n_epoch=epochs)
+    exp.run(store_dir=store, n_epoch=epochs, eval_every=eval_every)
     wall = time.time() - t0
     # best-over-run validation numbers from the structured history
     best_event, best_weak, best_global = 0.0, 0.0, 0.0
@@ -112,7 +129,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subpart", type=int, default=120,
                     help="per-manifest file cap = the labeled budget knob")
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=250,
+                    help="with 16 steps/epoch at the default geometry this "
+                         "is a 4000-step budget — enough for the EMA alpha "
+                         "cap to bind at 25% of training (see module doc)")
+    ap.add_argument("--subpart_unlabeled", type=int, default=600,
+                    help="separate cap for the unlabeled manifest "
+                         "(~5:1 unlabeled:labeled, the real dataset's ratio)")
+    ap.add_argument("--eval_every", type=int, default=10,
+                    help="validate every Nth epoch (host-side decode+scoring "
+                         "dominates wall-clock at this tiny geometry)")
+    ap.add_argument("--no_device_cache", action="store_true", default=False,
+                    help="stream batches per step instead of pinning the "
+                         "set in HBM (slow through the tunnel; A/B only)")
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--seed_base", type=int, default=0,
                     help="first seed (run seeds [base, base+seeds)) — lets a "
@@ -147,17 +176,19 @@ def main():
         with open(args.out) as f:
             prev = json.load(f)
         prev_cfg = (prev.get("subpart"), prev.get("epochs"),
-                    prev.get("variability", 0.0))
-        if prev_cfg == (args.subpart, args.epochs, args.variability):
+                    prev.get("variability", 0.0),
+                    prev.get("subpart_unlabeled"), prev.get("eval_every", 1))
+        if prev_cfg == (args.subpart, args.epochs, args.variability,
+                        args.subpart_unlabeled, args.eval_every):
             results = prev.get("runs", [])
             done = {(r["arm"], r["seed"]) for r in results}
             if done:
                 print(f"resuming: {len(done)} arm-runs already in {args.out}")
         else:
             # never silently overwrite another config's accumulated runs
-            print(f"ERROR: {args.out} holds results for "
-                  f"(subpart, epochs, variability)={prev_cfg}, requested "
-                  f"{(args.subpart, args.epochs, args.variability)}. "
+            print(f"ERROR: {args.out} holds results for (subpart, epochs, "
+                  f"variability, subpart_unlabeled, eval_every)={prev_cfg}, "
+                  f"requested {(args.subpart, args.epochs, args.variability, args.subpart_unlabeled, args.eval_every)}. "
                   "Pass a different --out (or matching config flags).",
                   file=sys.stderr)
             sys.exit(2)
@@ -177,6 +208,8 @@ def main():
         } for a in arms_present}
         doc = {"subpart": args.subpart, "epochs": args.epochs,
                "variability": args.variability,
+               "subpart_unlabeled": args.subpart_unlabeled,
+               "eval_every": args.eval_every,
                "seeds": len({r["seed"] for r in results}),
                "summary": summary, "runs": results}
         with open(args.out, "w") as f:
@@ -191,7 +224,10 @@ def main():
             print(f"=== arm {arm} seed {seed} ===", flush=True)
             r = run_arm(arm, d["mean_teacher"], d["max_cc"],
                         args.subpart, args.epochs, seed, args.store,
-                        variability=args.variability)
+                        variability=args.variability,
+                        subpart_unlabeled=args.subpart_unlabeled,
+                        eval_every=args.eval_every,
+                        device_cache=not args.no_device_cache)
             print(json.dumps(r), flush=True)
             results.append(r)
             write_doc()  # crash-safe: partial results land after every arm
