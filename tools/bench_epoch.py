@@ -118,8 +118,17 @@ def main():
     ap.add_argument("--batch_size", type=int, default=24,
                     help="reference parity batch (config.py:27); bench.py's "
                          "flagship throughput row uses 96")
-    ap.add_argument("--out", default=os.path.join(REPO, "EPOCH_BENCH.json"))
+    ap.add_argument("--device_cache", action="store_true", default=False,
+                    help="measure the device-resident epoch mode (whole set "
+                         "pinned in HBM, one scan dispatch per epoch) "
+                         "instead of the streamed host feed")
+    ap.add_argument("--out", default=None,
+                    help="default EPOCH_BENCH.json "
+                         "(EPOCH_BENCH_device.json with --device_cache)")
     args = ap.parse_args()
+    if args.out is None:
+        name = "EPOCH_BENCH_device.json" if args.device_cache else "EPOCH_BENCH.json"
+        args.out = os.path.join(REPO, name)
 
     cfg = Config(
         model=ModelConfig(
@@ -128,7 +137,8 @@ def main():
                           checkpoint_epochs=0, save_best=False),
     )
     exp = Experiment(cfg, mean_teacher=True, subpart_data=args.subpart,
-                     synthetic_audio=True, seed=0)
+                     synthetic_audio=True, seed=0,
+                     device_cache=args.device_cache)
     exp.build()
     B = exp.pipeline.batch_size
 
@@ -155,6 +165,7 @@ def main():
     doc = {
         "batch_size": B,
         "bf16": args.bf16,
+        "device_cache": args.device_cache,
         "subpart": args.subpart,
         "steps_per_epoch": n_steps,
         "train_s": round(train_s, 3),

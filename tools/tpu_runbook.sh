@@ -22,10 +22,12 @@ for i in $(seq 1 200); do
 done
 grep -q . /tmp/tunnel_kind.txt 2>/dev/null || { echo "tunnel never came back"; exit 1; }
 
-SEEDS=${SEEDS:-2}
-echo "=== 1/3 SSL ablation (subpart 120, 80 epochs, seeds 0..$((SEEDS-1))) ==="
+SEEDS=${SEEDS:-4}
+echo "=== 1/3 SSL ablation (round-4 rescaled: 250 epochs ≈ 4000 MT steps," \
+     "unlabeled 5:1, variability 1.0, seeds 0..$((SEEDS-1))) ==="
 DCASE_SCALER_CACHE=/tmp/scaler_cache timeout 14000 \
-  python tools/ablate_ssl.py --subpart 120 --epochs 80 --seeds "$SEEDS" \
+  python tools/ablate_ssl.py --seeds "$SEEDS" \
+  --out ABLATION_ssl_r4.json --store /tmp/ablate_r4 \
   > /tmp/ablate.log 2>&1
 echo "ablation exit=$?"; tail -6 /tmp/ablate.log
 
