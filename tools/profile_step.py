@@ -28,6 +28,9 @@ batch = _flag_val("--batch", 96, int)
 entry_block = "--entry_block" in sys.argv
 crows = "--crows" in sys.argv
 use_scaled = "--scaled" in sys.argv
+# --no_dropout: rate=0 skips the in-kernel PRNG + mask entirely (trace-time
+# constant) — measures the hardware-PRNG share of the fused-block chain
+no_dropout = "--no_dropout" in sys.argv
 unroll = _flag_val("--unroll", None, int)
 if unroll is not None:
     gru_mod.SCAN_UNROLL = unroll
@@ -35,7 +38,8 @@ if use_scaled:
     import dataclasses
     cfg = scaled_config()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-        cfg.model, entry_block_pallas=entry_block, entry_block_crows=crows))
+        cfg.model, entry_block_pallas=entry_block, entry_block_crows=crows,
+        **({"dropout": 0.0} if no_dropout else {})))
 else:
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
                                    entry_block_pallas=entry_block,
