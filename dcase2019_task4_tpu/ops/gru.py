@@ -33,11 +33,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# scan unroll factor: amortizes TPU loop overhead; swept on v5e at the
-# reference size (T=108): 8→0.96 ms, 16→1.30, 27→0.76, 54→0.77, 108→5.1
-# (full unroll blows the instruction budget) — module-level so experiments
-# can sweep
-SCAN_UNROLL = 27
+# scan unroll factor. None = pick per geometry (_pick_unroll); an explicit
+# int forces that unroll everywhere (tools/profile_step.py --unroll sweeps).
+# Swept on v5e at the reference size (T=108, H=64): 8→0.96 ms, 16→1.30,
+# 27→0.76, 54→0.77, 108→5.1 (full unroll blows the instruction budget at
+# H=64). At H≥128 the trade flips: full unroll removes the scan's
+# dynamic-slice/update machinery and loop-carried buffer round-trips, and
+# the per-step recurrence is wide enough that instruction count no longer
+# binds — measured at the scaled geometry (T=108, H=128): unroll 27 →
+# 99.7 device ms/step, 9 → 98.0, 108 (full) → 95.7 (docs/PERF.md "Round 4:
+# the scaled config").
+SCAN_UNROLL = None
+
+
+def _pick_unroll(T: int, H: int) -> int:
+    if SCAN_UNROLL is not None:
+        return SCAN_UNROLL  # explicit sweep override
+    return T if H >= 128 else 27
 
 
 def _orthogonal(key, shape):
@@ -121,7 +133,8 @@ def _gru_scan(gates_fwd, gates_bwd, p_fwd, p_bwd, hidden: int):
     h0 = jnp.zeros((2 * B, H), dtype)
     # unroll: amortizes per-iteration loop overhead on TPU (measured ~40x
     # on a standalone scan; the recurrent matmuls are tiny)
-    _, hs = jax.lax.scan(step, h0, gates, unroll=SCAN_UNROLL)  # [T, 2B, H]
+    _, hs = jax.lax.scan(step, h0, gates,
+                         unroll=_pick_unroll(gates.shape[0], H))  # [T, 2B, H]
     hs = hs.transpose(1, 0, 2)  # [2B, T, H]
     out_fwd, out_bwd_rev = hs[:B], hs[B:]
     return out_fwd, out_bwd_rev[:, ::-1]
@@ -201,7 +214,8 @@ def _lstm_scan(gates_fwd, gates_bwd, p_fwd, p_bwd, hidden: int):
         return (h_new, c_new), h_new
 
     init = (jnp.zeros((2 * B, H), dtype), jnp.zeros((2 * B, H), dtype))
-    _, hs = jax.lax.scan(step, init, gates, unroll=SCAN_UNROLL)
+    _, hs = jax.lax.scan(step, init, gates,
+                         unroll=_pick_unroll(gates.shape[0], H))
     hs = hs.transpose(1, 0, 2)
     return hs[:B], hs[B:][:, ::-1]
 

@@ -45,7 +45,8 @@ else:
                                    entry_block_pallas=entry_block,
                                    entry_block_crows=crows))
 print("entry_block_pallas:", entry_block, "entry_block_crows:", crows,
-      "scaled:", use_scaled, "batch:", batch, "unroll:", gru_mod.SCAN_UNROLL)
+      "scaled:", use_scaled, "batch:", batch,
+      "unroll:", "auto" if gru_mod.SCAN_UNROLL is None else gru_mod.SCAN_UNROLL)
 d, t = cfg.dsp, cfg.train
 model = CRNN(cfg.model)
 frontend = MelFrontend(

@@ -1,12 +1,13 @@
 #!/bin/bash
 # Queued TPU work (run whenever the axon tunnel is up and the chip is free).
 # Safe to re-run: every step is resumable / idempotent.
-#   1. SSL value ablation (VERDICT r2 item 3): supervised vs Mean-Teacher vs
-#      consistency-weight-0 at equal labeled budget. ablate_ssl.py writes
-#      ABLATION_ssl.json after every completed arm and skips arm-runs already
-#      recorded there, so interrupted invocations resume for free. Add seeds
-#      by bumping SEEDS (or --seed_base for a disjoint batch).
-#   2. bench.py refresh (BENCH_r*.json source number).
+#   1. Reference-step-scale SSL ablation (RESULTS.md round 4c): mt / mt_cc0 /
+#      supervised at 1000 epochs ~= 16k MT steps. ablate_ssl.py writes the
+#      out-file after every completed arm-run and skips runs already
+#      recorded, so interrupted invocations resume for free. Add seeds with
+#      --seed_base for a disjoint batch.
+#   2. bench.py refresh at BOTH configs (BENCH_r*.json source numbers; the
+#      scaled config picked up the full-unroll GRU win this round).
 #   3. TPU-gated Mosaic kernel tests (re-verify compiled paths on hardware
 #      after any kernel change).
 set -u
@@ -22,18 +23,20 @@ for i in $(seq 1 200); do
 done
 grep -q . /tmp/tunnel_kind.txt 2>/dev/null || { echo "tunnel never came back"; exit 1; }
 
-SEEDS=${SEEDS:-4}
-echo "=== 1/3 SSL ablation (round-4 rescaled: 250 epochs ≈ 4000 MT steps," \
-     "unlabeled 5:1, variability 1.0, seeds 0..$((SEEDS-1))) ==="
-DCASE_SCALER_CACHE=/tmp/scaler_cache timeout 14000 \
-  python tools/ablate_ssl.py --seeds "$SEEDS" \
-  --out ABLATION_ssl_r4.json --store /tmp/ablate_r4 \
+SEEDS=${SEEDS:-2}
+echo "=== 1/3 SSL ablation at reference step scale (1000 epochs, seeds 0..$((SEEDS-1))) ==="
+DCASE_SCALER_CACHE=/tmp/scaler_cache timeout 28000 \
+  python tools/ablate_ssl.py --epochs 1000 --eval_every 25 --seeds "$SEEDS" \
+  --arms supervised,mt,mt_cc0 \
+  --out ABLATION_ssl_refscale.json --store /tmp/ablate_refscale \
   > /tmp/ablate.log 2>&1
 echo "ablation exit=$?"; tail -6 /tmp/ablate.log
 
-echo "=== 2/3 full-step bench ==="
+echo "=== 2/3 full-step bench (flagship + scaled) ==="
 timeout 1800 python bench.py > /tmp/bench_default.log 2>&1
 echo "bench exit=$?"; tail -2 /tmp/bench_default.log
+timeout 1800 python bench.py --scaled > /tmp/bench_scaled.log 2>&1
+echo "bench --scaled exit=$?"; tail -2 /tmp/bench_scaled.log
 
 echo "=== 3/3 TPU-gated kernel tests ==="
 DCASE_TPU_TESTS=1 timeout 2400 python -m pytest \
