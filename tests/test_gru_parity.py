@@ -71,3 +71,22 @@ def test_orthogonal_init_matrices():
         np.testing.assert_allclose(blk @ blk.T, np.eye(64), atol=1e-4)
     b = np.asarray(params[0]["fwd"]["b_ih"])
     assert np.abs(b).max() <= 1 / np.sqrt(64) + 1e-6
+
+
+def test_pick_unroll_geometry_default_and_override():
+    # full unroll at H>=128 won 99.7 -> 95.7 device ms/step at the scaled
+    # geometry; H=64 keeps 27 (full unroll measured 5.1 ms there) —
+    # docs/PERF.md "Round 4: the scaled config"
+    from dcase2019_task4_tpu.ops import gru as gru_mod
+
+    assert gru_mod.SCAN_UNROLL is None  # auto by default
+    assert gru_mod._pick_unroll(108, 64) == 27
+    assert gru_mod._pick_unroll(108, 128) == 108
+    assert gru_mod._pick_unroll(216, 256) == 216
+    old = gru_mod.SCAN_UNROLL
+    try:
+        gru_mod.SCAN_UNROLL = 9  # sweep override wins in both regimes
+        assert gru_mod._pick_unroll(108, 64) == 9
+        assert gru_mod._pick_unroll(108, 128) == 9
+    finally:
+        gru_mod.SCAN_UNROLL = old
