@@ -359,9 +359,16 @@ def _pick_tile(T: int, F: int = 64, C: int = 64) -> int:
     # per-tile (seeded on the grid position), so the mask layout is part of
     # the function's semantics. The backward holds ~10 live f32 [tt·F, C]
     # buffers (plus double-buffered input blocks); budget them against the
-    # raised VMEM limit.
-    budget_bytes = 6_000_000  # per [tt·F, C] f32 buffer
-    for tt in (96, 72, 48, 36, 24, 16, 12, 8, 6, 4, 2, 1):
+    # raised VMEM limit. DCASE_FUSED_TILE_BUDGET (A/B knob, docs/PERF.md
+    # round 4) raises the budget AND widens the candidate list — the
+    # default list/budget stay untouched so production tilings only change
+    # on a measured verdict.
+    env_budget = os.environ.get("DCASE_FUSED_TILE_BUDGET")
+    budget_bytes = int(env_budget) if env_budget else 6_000_000
+    tiles = (96, 72, 48, 36, 24, 16, 12, 8, 6, 4, 2, 1)
+    if env_budget:
+        tiles = (432, 288, 216, 144, 108) + tiles
+    for tt in tiles:
         if T % tt == 0 and tt * F * C * 4 <= budget_bytes:
             return tt
     return 1
