@@ -364,6 +364,19 @@ def _pick_tile(T: int, F: int = 64, C: int = 64) -> int:
     # default list/budget stay untouched so production tilings only change
     # on a measured verdict.
     env_budget = os.environ.get("DCASE_FUSED_TILE_BUDGET")
+    if env_budget and not _pick_tile._warned:
+        # the tile choice fixes the per-tile dropout-mask layout, so runs
+        # with this knob set are NOT mask-compatible with default runs —
+        # it is an A/B lever for profile/bench entry points, not training
+        _pick_tile._warned = True
+        import warnings
+
+        warnings.warn(
+            "DCASE_FUSED_TILE_BUDGET is set: fused-block tilings (and hence "
+            "dropout-mask layouts) differ from default runs. Use only for "
+            "profiling A/Bs, never for training or golden comparisons.",
+            stacklevel=2,
+        )
     budget_bytes = int(env_budget) if env_budget else 6_000_000
     tiles = (96, 72, 48, 36, 24, 16, 12, 8, 6, 4, 2, 1)
     if env_budget:
@@ -372,6 +385,9 @@ def _pick_tile(T: int, F: int = 64, C: int = 64) -> int:
         if T % tt == 0 and tt * F * C * 4 <= budget_bytes:
             return tt
     return 1
+
+
+_pick_tile._warned = False
 
 
 def _geom(y_shape, pool):

@@ -49,7 +49,11 @@ SCAN_UNROLL = None
 def _pick_unroll(T: int, H: int) -> int:
     if SCAN_UNROLL is not None:
         return SCAN_UNROLL  # explicit sweep override
-    return T if H >= 128 else 27
+    # Measured envelope for the full-unroll win: T=108, H=128 (docs/PERF.md
+    # round 4). Full unroll's known failure mode — instruction-budget blowup —
+    # scales with T, so gate on T as well; longer sequences fall back to the
+    # swept 27 until someone measures them (tools/profile_step.py --unroll).
+    return T if (H >= 128 and T <= 128) else 27
 
 
 def _orthogonal(key, shape):

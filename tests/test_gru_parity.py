@@ -82,7 +82,10 @@ def test_pick_unroll_geometry_default_and_override():
     assert gru_mod.SCAN_UNROLL is None  # auto by default
     assert gru_mod._pick_unroll(108, 64) == 27
     assert gru_mod._pick_unroll(108, 128) == 108
-    assert gru_mod._pick_unroll(216, 256) == 216
+    # outside the measured envelope (T>128) full unroll is NOT assumed —
+    # instruction count scales with T and only T=108 was wall-clocked
+    assert gru_mod._pick_unroll(216, 256) == 27
+    assert gru_mod._pick_unroll(432, 128) == 27
     old = gru_mod.SCAN_UNROLL
     try:
         gru_mod.SCAN_UNROLL = 9  # sweep override wins in both regimes

@@ -43,7 +43,8 @@ if use_scaled:
 else:
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
                                    entry_block_pallas=entry_block,
-                                   entry_block_crows=crows))
+                                   entry_block_crows=crows,
+                                   **({"dropout": 0.0} if no_dropout else {})))
 print("entry_block_pallas:", entry_block, "entry_block_crows:", crows,
       "scaled:", use_scaled, "batch:", batch,
       "unroll:", "auto" if gru_mod.SCAN_UNROLL is None else gru_mod.SCAN_UNROLL)
