@@ -266,13 +266,28 @@ class DeviceResidentData:
     callers get a loud error, not an OOM.
     """
 
-    def __init__(self, pipeline: "BatchPipeline", max_bytes: int = 8 << 30):
+    def __init__(self, pipeline: "BatchPipeline", max_bytes: int = 8 << 30,
+                 mesh=None):
+        """With `mesh`, the row store is device_put REPLICATED over the mesh
+        and epoch_indices emits the shard-major global batch layout, so the
+        sharded epoch scan (make_device_epoch(..., mesh=...)) gathers each
+        device's contiguous chunk locally. Replication keeps the per-device
+        HBM cost identical to the single-device mode (the size guard is
+        per-device either way); sharding the ROWS instead is impossible
+        statically — the sampler's per-epoch permutations land any row on
+        any device. Multi-process stays unsupported (per-host pinning would
+        need a global-array assembly pass)."""
         import jax
 
-        assert pipeline.n_shards == 1 and pipeline.process_count == 1, (
-            "device-resident data is single-device/single-process "
-            "(the shard_map step path re-homes streamed batches instead)"
+        assert pipeline.process_count == 1, (
+            "device-resident data is single-process (multi-host runs "
+            "stream per-host batches through the shard_map step instead)"
         )
+        assert pipeline.n_shards == 1 or mesh is not None, (
+            "a sharded pipeline needs the mesh to replicate the row store"
+        )
+        self._n_shards = pipeline.n_shards
+        self._per_shard_sizes = list(pipeline.per_shard_sizes)
         sizes = [len(s) for s in pipeline.streams]
         n_total = sum(sizes)
         self.offsets = np.cumsum([0] + sizes[:-1]).astype(np.int32)
@@ -314,18 +329,34 @@ class DeviceResidentData:
             audio = np.concatenate([audio, np.repeat(audio[-1:], pad, 0)])
             frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
             targets = np.concatenate([targets, np.repeat(targets[-1:], pad, 0)])
+        if mesh is not None:
+            from dcase2019_task4_tpu.parallel.mesh import replicated
+
+            sharding = replicated(mesh)
+            put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+        else:
+            put = jax.device_put
         self.data = {
-            "audio": jax.device_put(audio),
-            "frames": jax.device_put(frames),
-            "target": jax.device_put(targets),
+            "audio": put(audio),
+            "frames": put(frames),
+            "target": put(targets),
         }
         self.nbytes = est
 
     def epoch_indices(self, sampler: MultiStreamSampler, epoch: int) -> np.ndarray:
         """[steps, B] global row indices for one epoch — the sampler's
         (stream_id, within-stream idx) pairs mapped through the stream
-        offsets. The only per-epoch host→device payload."""
+        offsets. The only per-epoch host→device payload. Sharded pipelines
+        get the shard-major reorder the streamed path applies in assemble(),
+        so per-device contiguous chunks carry the per-device stream layout."""
         pairs = sampler.epoch_batches(epoch)  # [steps, B, 2]
+        if self._n_shards > 1:
+            from dcase2019_task4_tpu.parallel.mesh import interleave_for_sharding
+
+            pairs = np.stack([
+                interleave_for_sharding(p, self._per_shard_sizes, self._n_shards)
+                for p in pairs
+            ])
         return (self.offsets[pairs[..., 0]] + pairs[..., 1]).astype(np.int32)
 
 

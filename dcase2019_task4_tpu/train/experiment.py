@@ -60,6 +60,7 @@ class Experiment:
         subpart_unlabeled: Optional[int] = None,
         synthetic_audio: bool = False,
         synthetic_variability: float = 0.0,
+        synthetic_bands: Optional[Dict] = None,
         logger=None,
         mesh=None,
         seed: int = 0,
@@ -88,6 +89,12 @@ class Experiment:
         )
         self.synthetic_audio = synthetic_audio
         self.synthetic_variability = synthetic_variability
+        # {stream_name: (lo, hi)} nuisance quantile bands for the synthetic
+        # source (audio_io.synth_clip nuisance_band). Streams not listed get
+        # the full band. The nuisance-shift ablation passes
+        # {"weak": (a, b), "synthetic": (a, b)} so labeled TRAIN data sits
+        # in a narrow band while unlabeled + validation span the full one.
+        self.synthetic_bands = dict(synthetic_bands or {})
         self.log = logger or get_logger()
         self.mesh = mesh
         self.seed = seed
@@ -113,12 +120,13 @@ class Experiment:
 
     # ------------------------------------------------------------ sources
 
-    def _source_for(self, manifest: Manifest, tsv_path: str):
+    def _source_for(self, manifest: Manifest, tsv_path: str, stream_name: str = ""):
         if self.synthetic_audio:
             return SyntheticAudioSource(
                 manifest, self.classes, self.cfg.dsp.sample_rate,
                 self.cfg.dsp.max_len_seconds,
                 variability=self.synthetic_variability,
+                nuisance_band=self.synthetic_bands.get(stream_name),
             )
         return WavAudioSource(
             self.cfg.paths.audio_dir_for_meta(tsv_path), self.cfg.dsp.sample_rate
@@ -126,7 +134,7 @@ class Experiment:
 
     def _make_stream(self, name: str, manifest: Manifest, tsv_path: str, cache=True) -> Stream:
         d = self.cfg.dsp
-        source = self._source_for(manifest, tsv_path)
+        source = self._source_for(manifest, tsv_path, stream_name=name)
         if not self.synthetic_audio:
             # drop rows whose wav is absent, with a logged error per file
             # (reference DatasetDcase2019Task4.py:254-262)
@@ -239,26 +247,30 @@ class Experiment:
         self._device_data = None
         self._epoch_fn = None
         if self.device_cache:
-            if self.mesh is not None or self.process_count > 1:
+            if self.process_count > 1:
                 raise ValueError(
-                    "device_cache is single-device/single-process (the "
-                    "shard_map step path streams per-host batches instead)"
+                    "device_cache is single-process (multi-host runs stream "
+                    "per-host batches through the shard_map step instead)"
                 )
             from dcase2019_task4_tpu.data.pipeline import DeviceResidentData
 
             t0 = time.time()
-            self._device_data = DeviceResidentData(self.pipeline)
+            # data-parallel: row store replicated over the mesh, epoch scan
+            # sharded on the batch axis (make_device_epoch(mesh=...)) — the
+            # per-device HBM cost and size guard are unchanged
+            self._device_data = DeviceResidentData(self.pipeline, mesh=self.mesh)
             self.log.info(
                 f"device-resident dataset: {self._device_data.nbytes / 2**20:.0f} "
                 f"MiB pinned in {time.time() - t0:.1f}s "
-                "(one scan dispatch per epoch)"
+                "(one scan dispatch per epoch"
+                + (f", sharded over {n_dev} devices)" if self.mesh is not None else ")")
             )
         self._fit_scaler()
         self._build_steps()
         if self.device_cache:
             from dcase2019_task4_tpu.train.steps import make_device_epoch
 
-            self._epoch_fn = make_device_epoch(self.train_step)
+            self._epoch_fn = make_device_epoch(self.train_step, mesh=self.mesh)
         self._built = True
         return self
 
@@ -277,6 +289,8 @@ class Experiment:
         h.update(repr(bool(self.synthetic_audio)).encode())
         if self.synthetic_audio:
             h.update(repr(float(self.synthetic_variability)).encode())
+            if self.synthetic_bands:
+                h.update(repr(sorted(self.synthetic_bands.items())).encode())
         for s in self.pipeline.streams:
             h.update(s.name.encode())
             for fn in s.filenames:

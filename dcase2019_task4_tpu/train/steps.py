@@ -276,6 +276,11 @@ def make_train_step(
         return new_state, metrics, new_acc
 
     donate_argnums = (0, 3) if donate else ()
+    # raw_fn stays the UNWRAPPED body: make_device_epoch builds its own
+    # shard_map around the whole epoch scan (with the mesh given), so the
+    # body must be composable inside an existing Manual-mesh context —
+    # nesting the step's own shard_map there is an error
+    inner_fn = step_fn
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -292,10 +297,10 @@ def make_train_step(
             check_vma=False,
         )
     return TrainStep(jax.jit(step_fn, donate_argnums=donate_argnums), metric_keys,
-                     raw_fn=step_fn)
+                     raw_fn=inner_fn)
 
 
-def make_device_epoch(train_step: TrainStep):
+def make_device_epoch(train_step: TrainStep, mesh=None, axis_name: str = "data"):
     """One jitted dispatch per EPOCH over a device-resident dataset
     (data.pipeline.DeviceResidentData).
 
@@ -313,7 +318,15 @@ def make_device_epoch(train_step: TrainStep):
     `data` = {"audio": [N, Lp] i16, "frames": [N] i32, "target": [N, T', C]},
     `idx` = [steps, B] int32 global row indices, `rng` = the epoch PRNG key,
     and `acc` accumulates the step's metric sums exactly like the loop path.
-    Single-device only (the shard_map step re-homes batches; callers guard)."""
+
+    With `mesh` (train_step built with the SAME mesh), the whole epoch scan
+    runs SPMD under shard_map: the row store `data` is replicated on every
+    device (DeviceResidentData(mesh=...)), `idx` is the shard-major GLOBAL
+    batch layout sharded on its batch axis, and each device scans gathering
+    its local chunk — the step body's BN psums / grad pmeans keep the
+    trajectory equal to the single-device scan over the same global batches
+    (tests/test_device_cache.py sharded twin). Multi-process callers still
+    stream (Experiment.build guards)."""
     body_fn = train_step.raw_fn
 
     def epoch_fn(state, data, idx, rng, acc):
@@ -331,6 +344,20 @@ def make_device_epoch(train_step: TrainStep):
         (state, rng, acc), _ = jax.lax.scan(body, (state, rng, acc), idx)
         return state, acc
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        epoch_fn = jax.shard_map(
+            epoch_fn,
+            mesh=mesh,
+            # state/data/rng/acc replicated; idx split on the per-step batch
+            # axis — each device's chunk is a full per-device stream layout
+            in_specs=(P(), P(), P(None, axis_name), P(), P()),
+            out_specs=(P(), P()),
+            # as in make_train_step: Pallas kernels don't propagate
+            # varying-mesh-axis metadata; outputs replicate by construction
+            check_vma=False,
+        )
     return jax.jit(epoch_fn, donate_argnums=(0, 4))
 
 
