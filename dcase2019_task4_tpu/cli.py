@@ -281,6 +281,15 @@ def evaluate(argv=None):
 
             with open(args.save_thresholds, "w") as f:
                 json.dump(dict(zip(ev.codec.labels, res["tuned_thresholds"])), f, indent=1)
+            if "tuned_event_thresholds" in res:
+                # event-decode thresholds in the same {class: th} format,
+                # directly reusable via --thresholds_json; windows ride
+                # alongside for operators that also tune the median
+                root, ext = os.path.splitext(args.save_thresholds)
+                with open(f"{root}.event{ext or '.json'}", "w") as f:
+                    json.dump(dict(zip(ev.codec.labels, res["tuned_event_thresholds"])), f, indent=1)
+                with open(f"{root}.event_windows{ext or '.json'}", "w") as f:
+                    json.dump(dict(zip(ev.codec.labels, res["tuned_event_windows"])), f, indent=1)
     return results
 
 

@@ -371,9 +371,10 @@ class CheckpointEvaluator:
                    threshold=0.5) -> Dict:
         """Full evaluation of one TSV set (reference test_model,
         TestModel.py:25-62): strong decode + event/segment metrics + weak F1.
-        `tune_thresholds` additionally grid-searches per-class weak
-        thresholds on this set's probabilities (eval/thresholds.py) and
-        reports the tuned tagging F1."""
+        `tune_thresholds` additionally grid-searches (a) per-class weak
+        tagging thresholds and (b) per-class STRONG-decode thresholds +
+        median windows maximizing event-based F1 on this set
+        (eval/thresholds.py), reporting both tuned scores."""
         import pandas as pd
 
         self.log.info(tsv_path)
@@ -381,6 +382,7 @@ class CheckpointEvaluator:
         d = self.cfg.dsp
         dfs, acc = [], TaggingF1(len(self.codec.labels))
         weak_probs, weak_targets = [], []
+        strong_probs, strong_fnames = [], []
         params, bn = self.state.params, self.state.bn_state
         for batch in iter_eval_batches(
             stream, self.cfg.train.batch_size, d.max_samples, d.n_window, d.hop_length, d.max_frames
@@ -399,6 +401,8 @@ class CheckpointEvaluator:
             if tune_thresholds:
                 weak_probs.append(np.asarray(weak)[:nv])
                 weak_targets.append(batch["target"][:nv])
+                strong_probs.append(np.asarray(strong)[:nv])
+                strong_fnames.extend(batch["filenames"][:nv])
         predictions = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
             columns=["event_label", "onset", "offset", "filename"]
         )
@@ -415,7 +419,10 @@ class CheckpointEvaluator:
             "predictions": predictions,
         }
         if tune_thresholds and weak_probs:
-            from dcase2019_task4_tpu.eval.thresholds import tune_weak_thresholds
+            from dcase2019_task4_tpu.eval.thresholds import (
+                tune_event_thresholds,
+                tune_weak_thresholds,
+            )
 
             th, tuned_f1 = tune_weak_thresholds(
                 np.concatenate(weak_probs), np.concatenate(weak_targets)
@@ -426,4 +433,22 @@ class CheckpointEvaluator:
             self.log.info(f"Tuned weak F1 macro averaged: {np.mean(tuned_f1):.4f}")
             out["tuned_thresholds"] = th.tolist()
             out["tuned_weak_macro_f1"] = float(np.mean(tuned_f1))
+            ev = tune_event_thresholds(
+                np.concatenate(strong_probs), strong_fnames,
+                stream.manifest.df, self.codec,
+                d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
+                median_windows=(3, 5, 7),
+            )
+            self.log.info(
+                "Tuned per-class EVENT thresholds: "
+                f"{dict(zip(self.codec.labels, np.round(ev['thresholds'], 2)))} "
+                f"windows {dict(zip(self.codec.labels, ev['windows'].tolist()))}"
+            )
+            self.log.info(
+                f"Tuned event F1 macro averaged: {ev['macro_f1']:.4f} "
+                f"(decode-default 0.5/5: {ev['default_macro_f1']:.4f})"
+            )
+            out["tuned_event_thresholds"] = np.asarray(ev["thresholds"]).tolist()
+            out["tuned_event_windows"] = np.asarray(ev["windows"]).tolist()
+            out["tuned_event_macro_f1"] = ev["macro_f1"]
         return out

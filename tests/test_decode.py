@@ -97,3 +97,92 @@ def test_tune_weak_thresholds():
     th, f1 = tune_weak_thresholds(probs, y)
     assert 0.25 < th[0] < 0.35 and 0.65 < th[1] < 0.75
     assert (f1 > 0.95).all()
+
+
+def test_decode_events_per_class_matches_decode_batch():
+    """Scalar threshold/window: the host scipy decode twin used by the event
+    tuner must equal the production jax decode path row for row."""
+    from dcase2019_task4_tpu.eval.thresholds import decode_events_per_class
+
+    rng = np.random.default_rng(3)
+    probs = rng.random((4, 54, 3)).astype(np.float32)
+    codec = LabelCodec(CLASSES, n_frames=54)
+    names = [f"f{i}.wav" for i in range(4)]
+    a = decode_batch(probs, names, codec, threshold=0.5, median_window=5)
+    b = decode_events_per_class(probs, names, codec, 44100, 511, 8, 0.5, 5)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def _tuner_fixture():
+    """3 classes engineered so per-class tuning must diverge from 0.5/5:
+      * Cat: clean margin (0.7 in-event / 0.3 outside) — default already
+        perfect, tuning must not hurt;
+      * Dog: weak detector (0.45 in-event) — invisible at 0.5, perfectly
+        recoverable below it;
+      * Speech: one event with a 2-frame dropout — window 3 splits it
+        (fragment offsets blow the collar), window >=5 heals it.
+    Groundtruth is produced by decoding the CLEAN binary grids through the
+    same grids_to_dataframe, so frame→second conventions cancel."""
+    T = 54
+    probs = np.zeros((3, T, 3), np.float32)
+    truth = np.zeros((3, T, 3), np.float32)
+    for b in range(3):
+        truth[b, 10:21, 0] = 1
+        probs[b, :, 0] = 0.3
+        probs[b, 10:21, 0] = 0.7
+        truth[b, 30:41, 1] = 1
+        probs[b, :, 1] = 0.05
+        probs[b, 30:41, 1] = 0.45
+        truth[b, 10:31, 2] = 1
+        probs[b, 10:31, 2] = 0.8
+        # hard 2-frame dropout: no threshold can bridge it (0.0 clears no
+        # grid point), only a window >=5 median heals it
+        probs[b, 19:21, 2] = 0.0
+    codec = LabelCodec(CLASSES, n_frames=T)
+    names = [f"f{i}.wav" for i in range(3)]
+    gt = grids_to_dataframe(truth, names, codec, 44100, 511, 8)
+    return probs, names, gt, codec
+
+
+def test_tune_event_thresholds_recovers_per_class_operating_points():
+    from dcase2019_task4_tpu.eval.thresholds import tune_event_thresholds
+
+    probs, names, gt, codec = _tuner_fixture()
+    res = tune_event_thresholds(
+        probs, names, gt, codec, median_windows=(3, 5, 7)
+    )
+    th, win, f1 = res["thresholds"], res["windows"], res["f1"]
+    # Cat: already perfect at default; tuned must stay perfect
+    assert f1[0] == 1.0
+    # Dog: the whole point — sub-0.5 threshold recovers the class from 0
+    assert res["default_f1"][1] == 0.0
+    assert th[1] < 0.45 and f1[1] == 1.0
+    # Speech: needs the median window to heal the 2-frame dropout
+    assert win[2] >= 5 and f1[2] == 1.0
+    # the macro of the applied per-class vector equals the per-class bests
+    # (class channels are independent through the decode chain)
+    assert res["macro_f1"] == np.mean(f1)
+    assert res["macro_f1"] > res["default_macro_f1"]
+
+
+def test_tune_event_thresholds_reported_macro_is_applied_not_theoretical():
+    """macro_f1 must come from a real re-decode with the tuned vectors, so
+    tuning on one set and applying elsewhere has an honest reference point."""
+    from dcase2019_task4_tpu.eval.thresholds import (
+        decode_events_per_class,
+        tune_event_thresholds,
+    )
+    from dcase2019_task4_tpu.eval.sed_scores import event_based_metrics
+
+    probs, names, gt, codec = _tuner_fixture()
+    res = tune_event_thresholds(probs, names, gt, codec, median_windows=(3, 5))
+    df = decode_events_per_class(
+        probs, names, codec, 44100, 511, 8, res["thresholds"], res["windows"]
+    )
+    m = event_based_metrics(gt, df)
+    macro = np.mean([
+        m.counts[c].f_measure if c in m.counts else 0.0 for c in codec.labels
+    ])
+    assert res["macro_f1"] == macro
