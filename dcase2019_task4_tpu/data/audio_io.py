@@ -65,6 +65,40 @@ def class_tone_bank(class_id: int, n_tones: int = 3) -> np.ndarray:
     return np.array([base * (1.5**k) for k in range(n_tones)])
 
 
+def _norm_band(band):
+    """None or the full (0, 1) band → None (identity, bit-exact paths)."""
+    if band is None:
+        return None
+    lo, hi = float(band[0]), float(band[1])
+    if (lo, hi) == (0.0, 1.0):
+        return None
+    assert 0.0 <= lo < hi <= 1.0, f"nuisance band must be 0<=lo<hi<=1, got {band}"
+    return (lo, hi)
+
+
+def _banded_uniform(rng, a: float, b: float, band):
+    """U(a, b) restricted to the band's quantile range [lo, hi] of itself —
+    the SAME underlying draw is consumed whatever the band, so banded and
+    full-band clips stay draw-sequence aligned."""
+    u = rng.uniform(a, b)
+    if band is None:
+        return u
+    lo, hi = band
+    q = (u - a) / (b - a)
+    return a + (b - a) * (lo + (hi - lo) * q)
+
+
+def _banded_normal(rng, band):
+    """N(0, 1) restricted to its [lo, hi] quantile band (inverse-CDF map)."""
+    z = rng.standard_normal()
+    if band is None:
+        return z
+    from scipy.special import ndtr, ndtri
+
+    lo, hi = band
+    return float(ndtri(lo + (hi - lo) * ndtr(z)))
+
+
 def synth_clip(
     filename: str,
     events: Sequence[Tuple[int, float, float]],
@@ -73,6 +107,7 @@ def synth_clip(
     noise_level: float = 0.02,
     seed_salt: str = "desed-synth",
     variability: float = 0.0,
+    nuisance_band=None,
 ) -> np.ndarray:
     """Deterministic synthetic clip: background noise + per-event tone
     bursts. `events` is [(class_id, onset_sec, offset_sec)].
@@ -87,15 +122,26 @@ def synth_clip(
     invariance is trivially satisfied, so the Mean-Teacher consistency term
     (reference main.py:93-145) has nothing to teach; with nuisance spread
     the noise-view invariance the teacher enforces corresponds to real
-    variation in the data distribution."""
+    variation in the data distribution.
+
+    `nuisance_band` (lo, hi) ⊂ [0, 1] restricts every nuisance draw to that
+    quantile band of its distribution (inverse-CDF map; the underlying RNG
+    sequence is consumed identically, so banded and full-band renderings of
+    a clip are draw-aligned). None or (0, 1) is the bit-exact identity.
+    This is the nuisance-SHIFT knob (VERDICT r4 item 1): labeled streams
+    confined to a narrow band while unlabeled + validation span the full
+    band makes input-perturbation invariance learnable ONLY through the
+    unlabeled data — the regime the Mean-Teacher consistency gradient
+    (reference main.py:93-145) exists for."""
     rng = np.random.default_rng(_stable_seed(seed_salt, filename))
+    band = _norm_band(nuisance_band)
     n = int(duration * sample_rate)
     t = np.arange(n) / sample_rate
     v = float(variability)
     clip_noise, clip_gain = noise_level, 0.25
     if v > 0:
-        clip_noise = noise_level * np.exp(v * rng.standard_normal())
-        clip_gain = 0.25 * np.exp(0.5 * v * rng.standard_normal())
+        clip_noise = noise_level * np.exp(v * _banded_normal(rng, band))
+        clip_gain = 0.25 * np.exp(0.5 * v * _banded_normal(rng, band))
     audio = clip_noise * rng.standard_normal(n)
     for class_id, onset, offset in events:
         lo = int(max(0.0, onset) * sample_rate)
@@ -107,11 +153,11 @@ def synth_clip(
         bank = class_tone_bank(class_id)
         for f in bank:
             if f < sample_rate / 2:
-                phase = rng.uniform(0, 2 * np.pi)
+                phase = rng.uniform(0, 2 * np.pi)  # not nuisance: exists at v=0
                 if v > 0:
                     # per-event timbre: harmonic weight + slight detune
-                    w = max(0.1, 1.0 + 0.6 * v * rng.uniform(-1, 1))
-                    f = f * (1.0 + 0.03 * v * rng.uniform(-1, 1))
+                    w = max(0.1, 1.0 + 0.6 * v * _banded_uniform(rng, -1, 1, band))
+                    f = f * (1.0 + 0.03 * v * _banded_uniform(rng, -1, 1, band))
                 else:
                     w = 1.0
                 tone += w * np.sin(2 * np.pi * f * seg_t + phase)
@@ -119,8 +165,8 @@ def synth_clip(
         if v > 0:
             # slow amplitude wobble (0.5–4 Hz), bounded away from zero so
             # the event stays audible over its whole labeled extent
-            f_mod = rng.uniform(0.5, 4.0)
-            ph_mod = rng.uniform(0, 2 * np.pi)
+            f_mod = _banded_uniform(rng, 0.5, 4.0, band)
+            ph_mod = _banded_uniform(rng, 0, 2 * np.pi, band)
             env = env * (1.0 + 0.3 * v * np.sin(2 * np.pi * f_mod * seg_t + ph_mod))
         audio[lo:hi] += clip_gain * env * tone / max(len(bank), 1)
     return audio.astype(np.float32)
@@ -134,10 +180,15 @@ class SyntheticAudioSource:
     scoring — runs unchanged on it."""
 
     def __init__(self, manifest, classes: List[str], sample_rate: int = 44100,
-                 duration: float = 10.0, variability: float = 0.0):
+                 duration: float = 10.0, variability: float = 0.0,
+                 nuisance_band=None):
         self.sample_rate = sample_rate
         self.duration = duration
         self.variability = float(variability)
+        # per-source nuisance quantile band (see synth_clip) — the
+        # nuisance-shift ablation renders LABELED streams from a narrow
+        # band while unlabeled/validation sources keep the full band
+        self.nuisance_band = _norm_band(nuisance_band)
         self.classes = list(classes)
         cindex = {c: i for i, c in enumerate(self.classes)}
         self._events = {}
@@ -172,6 +223,7 @@ class SyntheticAudioSource:
         return synth_clip(
             filename, self._events.get(filename, []), self.duration,
             self.sample_rate, variability=self.variability,
+            nuisance_band=self.nuisance_band,
         )
 
 

@@ -165,3 +165,65 @@ def test_multihost_requires_divisible_devices():
             [_stream(4)], [2], D.max_samples, D.n_window, D.hop_length,
             D.max_frames, n_shards=4, process_count=3,
         )
+
+
+def test_synth_clip_nuisance_band_identity_and_restriction():
+    """nuisance_band (audio_io.synth_clip): None and the full (0,1) band are
+    BIT-identical to the unbanded render; narrow bands change the waveform
+    but stay draw-aligned (same RNG consumption) and leave event support
+    untouched; disjoint narrow bands give distinct renders (the shift the
+    nuisance-shift ablation relies on)."""
+    evs = [(1, 0.2, 0.6), (4, 0.5, 0.9)]
+    full = synth_clip("nb.wav", evs, 1.0, 8000, variability=1.0)
+    assert np.array_equal(
+        full, synth_clip("nb.wav", evs, 1.0, 8000, variability=1.0,
+                         nuisance_band=(0.0, 1.0)))
+    lo = synth_clip("nb.wav", evs, 1.0, 8000, variability=1.0,
+                    nuisance_band=(0.0, 0.2))
+    mid = synth_clip("nb.wav", evs, 1.0, 8000, variability=1.0,
+                     nuisance_band=(0.4, 0.6))
+    hi = synth_clip("nb.wav", evs, 1.0, 8000, variability=1.0,
+                    nuisance_band=(0.8, 1.0))
+    assert not np.array_equal(lo, mid) and not np.array_equal(mid, hi)
+    # event support is identical in every band — nuisance never moves
+    # labels (events always add energy over the same clip's noise floor;
+    # the MARGIN shrinks in high bands where clip_noise ~ exp(z) outgrows
+    # clip_gain ~ exp(z/2), so assert energy increase, not a fixed SNR)
+    for band_clip in (lo, mid, hi):
+        silent = band_clip[: int(0.15 * 8000)]
+        active = band_clip[int(0.25 * 8000) : int(0.55 * 8000)]
+        assert np.std(active) > 1.2 * np.std(silent)
+    # the quantile ordering survives the render: the hi band's noise floor
+    # (clip_noise = base·exp(v·z), z banded) is louder than the lo band's
+    assert np.std(hi[: int(0.15 * 8000)]) > np.std(lo[: int(0.15 * 8000)])
+
+
+def test_synth_clip_nuisance_band_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        synth_clip("x.wav", [], 1.0, 8000, variability=1.0,
+                   nuisance_band=(0.7, 0.3))
+
+
+def test_experiment_synthetic_bands_plumbed_per_stream():
+    """Labeled train streams get the band, unlabeled + validation streams
+    keep the full band (the nuisance-shift layout)."""
+    from dcase2019_task4_tpu.train.experiment import Experiment
+
+    tiny = Config(
+        dsp=DSPConfig(max_len_seconds=1.0),
+        model=ModelConfig(nclass=10, nb_filters=(16, 16, 16), n_rnn_cell=16),
+        train=TrainConfig(batch_size=8, n_epoch=1, num_prefetch=1),
+    )
+    exp = Experiment(
+        tiny, mean_teacher=True, subpart_data=12, synthetic_audio=True,
+        synthetic_variability=1.0,
+        synthetic_bands={"weak": (0.4, 0.6), "synthetic": (0.4, 0.6)},
+    ).build()
+    bands = {s.name: s.source.nuisance_band for s in exp.pipeline.streams}
+    assert bands["weak"] == (0.4, 0.6)
+    assert bands["synthetic"] == (0.4, 0.6)
+    assert bands["unlabeled"] is None
+    assert exp.valid_synth_stream.source.nuisance_band is None
+    assert exp.valid_weak_stream.source.nuisance_band is None

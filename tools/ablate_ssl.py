@@ -76,7 +76,7 @@ _apply_platform_override()
 
 def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
             variability=0.0, subpart_unlabeled=None, eval_every=1,
-            device_cache=True):
+            device_cache=True, labeled_band=None):
     import numpy as np
 
     from dcase2019_task4_tpu.config import Config, TrainConfig
@@ -87,10 +87,17 @@ def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
         max_consistency_cost=max_cc,
         checkpoint_epochs=0,  # no per-epoch snapshots; metrics.jsonl is the record
     ))
+    # nuisance shift: labeled TRAIN streams confined to a narrow quantile
+    # band of the nuisance distribution; the unlabeled stream and both
+    # validation streams keep the full band (audio_io.synth_clip)
+    bands = None
+    if labeled_band is not None:
+        bands = {"weak": labeled_band, "synthetic": labeled_band}
     exp = Experiment(
         cfg, mean_teacher=mean_teacher, subpart_data=subpart,
         subpart_unlabeled=subpart_unlabeled,
         synthetic_audio=True, synthetic_variability=variability, seed=seed,
+        synthetic_bands=bands,
         device_cache=device_cache,
     )
     store = os.path.join(store_root, f"{name}_s{seed}")
@@ -161,10 +168,23 @@ def main():
                          "perturbation invariance (RESULTS.md round 3); "
                          "the default 1.0 makes the consistency term's "
                          "job learnable.")
+    ap.add_argument("--nuisance_shift", default=None, metavar="LO,HI",
+                    help="confine the LABELED train streams (weak+synthetic) "
+                         "to this quantile band of the nuisance distribution "
+                         "while unlabeled + validation span the full (0,1) "
+                         "band (audio_io.synth_clip nuisance_band) — the "
+                         "regime where input-perturbation invariance is "
+                         "learnable only through the unlabeled data, i.e. "
+                         "where the consistency GRADIENT (mt - mt_cc0) "
+                         "should turn positive. E.g. --nuisance_shift 0.4,0.6")
     ap.add_argument("--store", default="/tmp/ablate_ssl")
     ap.add_argument("--out", default=os.path.join(REPO, "ABLATION_ssl.json"))
     ap.add_argument("--arms", default="supervised,mt,mt_cc0")
     args = ap.parse_args()
+    labeled_band = None
+    if args.nuisance_shift:
+        lo, hi = (float(x) for x in args.nuisance_shift.split(","))
+        labeled_band = (lo, hi)
 
     arm_defs = {
         "supervised": dict(mean_teacher=False, max_cc=2.0),
@@ -177,9 +197,11 @@ def main():
             prev = json.load(f)
         prev_cfg = (prev.get("subpart"), prev.get("epochs"),
                     prev.get("variability", 0.0),
-                    prev.get("subpart_unlabeled"), prev.get("eval_every", 1))
+                    prev.get("subpart_unlabeled"), prev.get("eval_every", 1),
+                    prev.get("nuisance_shift"))
         if prev_cfg == (args.subpart, args.epochs, args.variability,
-                        args.subpart_unlabeled, args.eval_every):
+                        args.subpart_unlabeled, args.eval_every,
+                        args.nuisance_shift):
             results = prev.get("runs", [])
             done = {(r["arm"], r["seed"]) for r in results}
             if done:
@@ -210,6 +232,7 @@ def main():
                "variability": args.variability,
                "subpart_unlabeled": args.subpart_unlabeled,
                "eval_every": args.eval_every,
+               "nuisance_shift": args.nuisance_shift,
                "seeds": len({r["seed"] for r in results}),
                "summary": summary, "runs": results}
         with open(args.out, "w") as f:
@@ -227,7 +250,8 @@ def main():
                         variability=args.variability,
                         subpart_unlabeled=args.subpart_unlabeled,
                         eval_every=args.eval_every,
-                        device_cache=not args.no_device_cache)
+                        device_cache=not args.no_device_cache,
+                        labeled_band=labeled_band)
             print(json.dumps(r), flush=True)
             results.append(r)
             write_doc()  # crash-safe: partial results land after every arm
