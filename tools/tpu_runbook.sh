@@ -1,15 +1,17 @@
 #!/bin/bash
 # Queued TPU work (run whenever the axon tunnel is up and the chip is free).
 # Safe to re-run: every step is resumable / idempotent.
-#   1. Reference-step-scale SSL ablation (RESULTS.md round 4c): mt / mt_cc0 /
-#      supervised at 1000 epochs ~= 16k MT steps. ablate_ssl.py writes the
+#   1. Nuisance-shift SSL ablation (VERDICT r4 item 1): labeled train
+#      streams confined to the 0.4-0.6 nuisance quantile band, unlabeled +
+#      validation full band, reference step scale. ablate_ssl.py writes the
 #      out-file after every completed arm-run and skips runs already
 #      recorded, so interrupted invocations resume for free. Add seeds with
 #      --seed_base for a disjoint batch.
-#   2. bench.py refresh at BOTH configs (BENCH_r*.json source numbers; the
-#      scaled config picked up the full-unroll GRU win this round).
-#   3. TPU-gated Mosaic kernel tests (re-verify compiled paths on hardware
-#      after any kernel change).
+#   2. bench.py refresh at BOTH configs (both wall-clocked in round 5;
+#      re-run after any kernel-default change).
+#   3. TPU-gated Mosaic kernel tests incl. the round-5 A/B knobs
+#      (DCASE_DROPOUT_PACK packed dropout bits, DCASE_FUSED_MEL_ONEDOT
+#      single-matmul DFT) on hardware.
 set -u
 cd "$(dirname "$0")/.."
 for i in $(seq 1 200); do
@@ -24,13 +26,13 @@ done
 grep -q . /tmp/tunnel_kind.txt 2>/dev/null || { echo "tunnel never came back"; exit 1; }
 
 SEEDS=${SEEDS:-2}
-echo "=== 1/3 SSL ablation at reference step scale (1000 epochs, seeds 0..$((SEEDS-1))) ==="
+echo "=== 1/3 nuisance-shift SSL ablation (reference step scale, seeds 0..$((SEEDS-1))) ==="
 DCASE_SCALER_CACHE=/tmp/scaler_cache timeout 28000 \
   python tools/ablate_ssl.py --epochs 1000 --eval_every 25 --seeds "$SEEDS" \
-  --arms supervised,mt,mt_cc0 \
-  --out ABLATION_ssl_refscale.json --store /tmp/ablate_refscale \
-  > /tmp/ablate.log 2>&1
-echo "ablation exit=$?"; tail -6 /tmp/ablate.log
+  --arms supervised,mt,mt_cc0 --nuisance_shift 0.4,0.6 \
+  --out ABLATION_ssl_shift.json --store /tmp/ablate_shift \
+  > /tmp/ablate_shift.log 2>&1
+echo "ablation exit=$?"; tail -6 /tmp/ablate_shift.log
 
 echo "=== 2/3 full-step bench (flagship + scaled) ==="
 timeout 1800 python bench.py > /tmp/bench_default.log 2>&1
@@ -38,10 +40,16 @@ echo "bench exit=$?"; tail -2 /tmp/bench_default.log
 timeout 1800 python bench.py --scaled > /tmp/bench_scaled.log 2>&1
 echo "bench --scaled exit=$?"; tail -2 /tmp/bench_scaled.log
 
-echo "=== 3/3 TPU-gated kernel tests ==="
+echo "=== 3/3 TPU-gated kernel tests (incl. round-5 knob variants) ==="
 DCASE_TPU_TESTS=1 timeout 2400 python -m pytest \
   tests/test_fused_block.py tests/test_packed_conv.py tests/test_fused_mel.py \
   tests/test_fused_entry_block.py tests/test_entry_conv.py \
   tests/test_crows_block.py tests/test_export.py -q \
   > /tmp/tpu_gated_tests.log 2>&1
 echo "tpu-gated tests exit=$? : $(tail -1 /tmp/tpu_gated_tests.log)"
+DCASE_TPU_TESTS=1 DCASE_DROPOUT_PACK=1 timeout 1800 python -m pytest \
+  tests/test_fused_block.py -q >> /tmp/tpu_gated_tests.log 2>&1
+echo "pack variant exit=$?"
+DCASE_TPU_TESTS=1 DCASE_FUSED_MEL_ONEDOT=1 timeout 1200 python -m pytest \
+  tests/test_fused_mel.py -q >> /tmp/tpu_gated_tests.log 2>&1
+echo "onedot variant exit=$?"
