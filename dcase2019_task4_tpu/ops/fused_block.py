@@ -28,8 +28,8 @@ and per-channel vectors are tiled k× along lanes and folded back outside.
 Dropout masks are regenerated identically in both directions from a
 deterministic per-tile seed (pltpu.prng_seed keyed on the grid position),
 so no mask tensor ever exists in HBM. The mask is defined in the PACKED
-layout; `dropout_mask_logical` reproduces it in logical [T, F, C] terms
-(used by the TPU parity test).
+layout (the TPU parity tests exercise it through the recompute-consistency
+property: fwd and bwd regenerate identical per-tile masks from the seed).
 
 Semantics match the reference block exactly (models/CNN.py:44-67: BN eps
 1e-3 with batch statistics in training, GLU, dropout, AvgPool2d) and the
@@ -136,6 +136,16 @@ def _chain_fwd(y, scale, bias, mean, var, glu_w, glu_b, eps, lp):
     return xn, lin, sig
 
 
+# DCASE_DROPOUT_PACK=1 (A/B knob, VERDICT r4 item 4a): draw 8 random bits
+# per element instead of 32 — one hardware-PRNG uint32 covers FOUR mask
+# elements (its 4 bytes, one row-quarter each), quartering PRNG work at the
+# cost of 4 shift/compare planes + a sublane concat. Changes BOTH the mask
+# layout and the rate quantization (1/256 steps; 0.5 stays exact), so runs
+# with it set are not mask-compatible with default runs — profile/bench
+# lever until a measured win promotes it (then the mask version bumps).
+_PACK_BITS = os.environ.get("DCASE_DROPOUT_PACK") == "1"
+
+
 def _dropout_mask(shape, rate, seed_val=None, interp=False):
     """Per-tile dropout keep-mask.
 
@@ -156,6 +166,15 @@ def _dropout_mask(shape, rate, seed_val=None, interp=False):
         x = (x ^ (x >> 15)) * np.uint32(0x846CA68B)
         bits = x ^ (x >> 16)
         return (bits >= threshold).astype(jnp.float32)
+    if _PACK_BITS and shape[0] % 4 == 0:
+        t8 = np.uint32(min(int(round(rate * 256)), 255))
+        bits = pltpu.prng_random_bits((shape[0] // 4, shape[1]))
+        u = pltpu.bitcast(bits, jnp.uint32)
+        planes = [
+            (((u >> np.uint32(8 * i)) & np.uint32(0xFF)) >= t8).astype(jnp.float32)
+            for i in range(4)
+        ]
+        return jnp.concatenate(planes, axis=0)
     bits = pltpu.prng_random_bits(shape)
     return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
 

@@ -35,6 +35,7 @@ terms, which only reassociates the sum).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -44,6 +45,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+
+# DCASE_FUSED_MEL_ONEDOT=1 (A/B knob, VERDICT r4 item 4b / PERF lever 4):
+# fuse each part's cos and sin dots into ONE [tt, hop]×[hop, 2·NB] matmul
+# against the cos‖sin-concatenated basis — half the MXU dispatch count at
+# 2048-lane output width, one accumulator instead of two. Fewer, wider
+# matmuls → better pipeline utilization is the hypothesis the A/B tests
+# (the kernel sat at ~70 % of its MXU roofline with the split schedule).
+# (A true single-dot variant — materializing the [tt, n_fft] frame tile in
+# VMEM and one [tt, n_fft]×[n_fft, 2·NB] matmul — is un-lowerable: Mosaic
+# rejects the lane-misaligned 511-wide slice concat with "result/input
+# offset mismatch on non-concat dimension".)
+ONEDOT = os.environ.get("DCASE_FUSED_MEL_ONEDOT") == "1"
+
+
+class OnedotBases(NamedTuple):
+    """Constants for the fused-basis variant.
+
+    dft_main: [P, hop, 2·NB] — cos‖sin basis rows p·hop..(p+1)·hop.
+    dft_tail: [tail, 2·NB] — basis rows P·hop..n_fft (absent ⇒ tail 0).
+    mel_fb:   [NB, M] f32 — Slaney mel matrix trimmed to NB bins.
+    """
+
+    dft_main: jax.Array
+    dft_tail: jax.Array | None
+    mel_fb: jax.Array
+
+
+def build_onedot_bases(
+    cos_full: np.ndarray,
+    sin_full: np.ndarray,
+    mel_fb_full: np.ndarray,
+    hop: int,
+    compute_dtype,
+) -> OnedotBases:
+    n_fft = cos_full.shape[0]
+    nb = trimmed_bins(mel_fb_full)
+    p_full = n_fft // hop
+    tail = n_fft - p_full * hop
+    cdtype = jnp.dtype(compute_dtype)
+    dft = np.concatenate([cos_full[:, :nb], sin_full[:, :nb]], axis=1)
+    dft_main = np.stack([dft[p * hop : (p + 1) * hop] for p in range(p_full)])
+    return OnedotBases(
+        dft_main=jnp.asarray(dft_main, cdtype),
+        dft_tail=jnp.asarray(dft[p_full * hop :], cdtype) if tail else None,
+        mel_fb=jnp.asarray(mel_fb_full[:nb], jnp.float32),
+    )
 
 
 class FusedMelBases(NamedTuple):
@@ -162,6 +210,40 @@ def _kernel(main_ref, tail_ref, cosm_ref, sinm_ref, cost_ref, sint_ref,
     out_ref[0] = dot(mag, mel_ref[...])
 
 
+def _kernel_onedot(main_ref, tail_ref, dftm_ref, dftt_ref, mel_ref, out_ref, *,
+                   tt, hop, tail_w, p_full, compute_dtype, in_scale):
+    """Fused-basis variant: one [tt, hop]×[hop, 2·NB] dot per part against
+    the cos‖sin basis, re/im split on the lane-aligned NB boundary (see
+    ONEDOT note above)."""
+    rows_m = main_ref[0]
+    parts = [rows_m]
+    if tail_ref is not None:
+        e = extra_rows(tail_w + p_full * hop, hop)
+        parts.append(tail_ref[0][:e])
+    rows = jnp.concatenate(parts, axis=0) if len(parts) > 1 else rows_m
+    rows = rows.astype(compute_dtype)
+    if in_scale != 1.0:
+        rows = rows * jnp.asarray(in_scale, compute_dtype)
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(compute_dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=prec
+    )
+    nb2 = dftm_ref.shape[-1]
+    reim = jnp.zeros((tt, nb2), jnp.float32)
+    for p in range(p_full):
+        reim += dot(rows[p : p + tt, :], dftm_ref[p])
+    if tail_w:
+        reim += dot(rows[p_full : p_full + tt, :tail_w], dftt_ref[...])
+    nb = nb2 // 2
+    re, im = reim[:, :nb], reim[:, nb:]
+    mag = jnp.sqrt(re * re + im * im)
+    out_ref[0] = dot(mag, mel_ref[...])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "hop", "T", "tt", "compute_dtype", "interpret"),
@@ -193,6 +275,7 @@ def fused_stft_mel(
     cdtype = jnp.dtype(compute_dtype)
     in_scale = 1.0 / 32768.0 if chunks.dtype == jnp.int16 else 1.0
 
+    onedot = isinstance(bases, OnedotBases)
     grid = (B, T // tt)
     in_specs = [
         pl.BlockSpec((1, tt, hop), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -207,13 +290,22 @@ def fused_stft_mel(
         )
         args.append(chunks)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs += [const, const]
-    args += [bases.cos_main, bases.sin_main]
-    if tail_w:
+    if onedot:
+        in_specs.append(const)
+        args.append(bases.dft_main)
+        if tail_w:
+            in_specs.append(const)
+            args.append(bases.dft_tail)
+        in_specs.append(const)
+        args.append(bases.mel_fb)
+    else:
         in_specs += [const, const]
-        args += [bases.cos_tail, bases.sin_tail]
-    in_specs.append(const)
-    args.append(bases.mel_fb)
+        args += [bases.cos_main, bases.sin_main]
+        if tail_w:
+            in_specs += [const, const]
+            args += [bases.cos_tail, bases.sin_tail]
+        in_specs.append(const)
+        args.append(bases.mel_fb)
 
     M = bases.mel_fb.shape[1]
 
@@ -221,6 +313,16 @@ def fused_stft_mel(
         it = iter(refs)
         main_ref = next(it)
         tail_ref = next(it) if e else None
+        if onedot:
+            dftm_ref = next(it)
+            dftt_ref = next(it) if tail_w else None
+            mel_ref, out_ref = next(it), next(it)
+            _kernel_onedot(
+                main_ref, tail_ref, dftm_ref, dftt_ref, mel_ref, out_ref,
+                tt=tt, hop=hop, tail_w=tail_w, p_full=p_full,
+                compute_dtype=cdtype, in_scale=in_scale,
+            )
+            return
         cosm_ref, sinm_ref = next(it), next(it)
         cost_ref = next(it) if tail_w else None
         sint_ref = next(it) if tail_w else None

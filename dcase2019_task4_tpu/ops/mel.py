@@ -239,9 +239,17 @@ class MelFrontend:
             self.cos_basis = jnp.asarray(cos_b)
             self.sin_basis = jnp.asarray(sin_b)
         if stft_mode == "pallas":
-            self._fused_bases = _fm.build_bases(
-                cos_b, sin_b, fb, hop_length, jnp.dtype(compute_dtype)
-            )
+            # DCASE_FUSED_MEL_ONEDOT=1: cos‖sin-fused DFT-basis variant
+            # (fused_mel.ONEDOT A/B note) — same trimmed bins, same outputs
+            # to float tolerance (the contraction is reassociated)
+            if _fm.ONEDOT:
+                self._fused_bases = _fm.build_onedot_bases(
+                    cos_b, sin_b, fb, hop_length, jnp.dtype(compute_dtype)
+                )
+            else:
+                self._fused_bases = _fm.build_bases(
+                    cos_b, sin_b, fb, hop_length, jnp.dtype(compute_dtype)
+                )
 
     # ----------------------------------------------------------- pieces
     # (each public method is jitted with `self` static: instances hash by

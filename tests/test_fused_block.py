@@ -222,6 +222,53 @@ def test_dropout_deterministic_and_grad_consistent_tpu(inputs):
         )
 
 
+@pytest.mark.skipif(not ON_TPU, reason="mask statistics need the TPU PRNG")
+@pytest.mark.parametrize("rate", [0.5, 0.25])
+def test_dropout_mask_statistics_tpu(rate):
+    """Distributional checks on the in-kernel mask generator, valid for
+    whichever variant is active (default 32-bit draws, or the
+    DCASE_DROPOUT_PACK packed 8-bit draws where one uint32 covers four
+    row-quarters): keep-rate matches 1-rate, the row-quarters are pairwise
+    decorrelated (byte planes of a shared draw must still look
+    independent), and distinct grid tiles draw distinct masks. The
+    fused-vs-reference tests can't catch a broken distribution — both
+    sides share the mask — so this pins it directly."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import dcase2019_task4_tpu.ops.fused_block as FB
+
+    R, L, NT = 512, 128, 4  # rows divisible by 4 → pack-eligible shape
+
+    def mask_kernel(seed_ref, o_ref):
+        pltpu.prng_seed(FB._seed_for(seed_ref, NT))
+        o_ref[0] = FB._dropout_mask((R, L), rate)
+
+    masks = pl.pallas_call(
+        mask_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1, NT), in_specs=[],
+            out_specs=pl.BlockSpec((1, R, L), lambda b, t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((NT, R, L), jnp.float32),
+    )(jnp.asarray([77], jnp.int32))
+    m = np.asarray(masks)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    # keep-rate: N = NT*R*L = 262144 Bernoulli draws → 5σ ≈ 0.005
+    keep = m.mean()
+    assert abs(keep - (1.0 - rate)) < 5.0 * np.sqrt(rate * (1 - rate) / m.size)
+    # row-quarter decorrelation (the pack variant's byte planes)
+    q = m.reshape(NT, 4, R // 4, L)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            c = np.corrcoef(q[:, i].ravel(), q[:, j].ravel())[0, 1]
+            assert abs(c) < 0.02, (i, j, c)
+    # per-tile seeds differ → tiles draw distinct masks
+    for t in range(1, NT):
+        assert np.any(m[0] != m[t])
+
+
 @pytest.mark.skipif(not ON_TPU, reason="fused CRNN path needs TPU")
 def test_crnn_fused_matches_unfused_eval_tpu():
     from dcase2019_task4_tpu.config import ModelConfig

@@ -114,3 +114,31 @@ def test_interpret_scaled_mel_count():
     mc = np.asarray(fe_c.linear_mel(a))
     assert mp.shape[-1] == 128
     np.testing.assert_allclose(mp, mc, atol=1e-5 * np.abs(mc).max())
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {},  # tail part present (hop 12, n_fft 32)
+        {"n_window": 32, "hop_length": 16, "max_frames": 8},  # no tail
+        {"n_mels": 128, "f_max": 8000.0},  # wide mel (scaled geometry)
+    ],
+)
+def test_interpret_onedot_matches_chunked(monkeypatch, over):
+    """DCASE_FUSED_MEL_ONEDOT variant (single [tt, n_fft]×[n_fft, 2·NB]
+    DFT matmul against the cos‖sin-fused basis) is numerically the same
+    contraction reassociated — parity with the chunked path in interpret
+    mode, int16 scaling and frame-masked log path included."""
+    monkeypatch.setattr(fm, "ONEDOT", True)
+    fe_p, fe_c = _frontends(**over)
+    assert isinstance(fe_p._fused_bases, fm.OnedotBases)
+    rng = np.random.default_rng(7)
+    a16 = jnp.asarray((rng.standard_normal((3, 150)) * 9000).astype(np.int16))
+    mp = np.asarray(fe_p.linear_mel(a16))
+    mc = np.asarray(fe_c.linear_mel(a16))
+    np.testing.assert_allclose(mp, mc, atol=1e-5 * np.abs(mc).max())
+    frames = jnp.asarray([8, 5, 8])
+    lp = np.asarray(fe_p.log_mel(a16, frames))
+    lc = np.asarray(fe_c.log_mel(a16, frames))
+    np.testing.assert_allclose(lp, lc, atol=1e-4)
+    assert np.all(lp[1, 5:] == 0.0)
