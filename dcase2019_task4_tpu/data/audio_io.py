@@ -181,7 +181,7 @@ class SyntheticAudioSource:
 
     def __init__(self, manifest, classes: List[str], sample_rate: int = 44100,
                  duration: float = 10.0, variability: float = 0.0,
-                 nuisance_band=None):
+                 nuisance_band=None, seed_salt: str = "desed-synth"):
         self.sample_rate = sample_rate
         self.duration = duration
         self.variability = float(variability)
@@ -189,6 +189,10 @@ class SyntheticAudioSource:
         # nuisance-shift ablation renders LABELED streams from a narrow
         # band while unlabeled/validation sources keep the full band
         self.nuisance_band = _norm_band(nuisance_band)
+        # a distinct salt renders an independent nuisance VIEW of the same
+        # event content (same labels; fresh noise/timbre/phase draws) —
+        # the paired-teacher-view consistency experiment's second view
+        self.seed_salt = seed_salt
         self.classes = list(classes)
         cindex = {c: i for i, c in enumerate(self.classes)}
         self._events = {}
@@ -222,7 +226,8 @@ class SyntheticAudioSource:
     def get_audio(self, filename: str) -> np.ndarray:
         return synth_clip(
             filename, self._events.get(filename, []), self.duration,
-            self.sample_rate, variability=self.variability,
+            self.sample_rate, seed_salt=self.seed_salt,
+            variability=self.variability,
             nuisance_band=self.nuisance_band,
         )
 

@@ -75,13 +75,17 @@ class Stream:
 
     def __init__(self, name: str, manifest: Manifest, source, codec: LabelCodec,
                  sample_rate: int, hop_length: int, pooling_time_ratio: int,
-                 cache_audio: bool = False):
+                 cache_audio: bool = False, source2=None):
         self.name = name
         self.manifest = manifest
         self.filenames = list(manifest.filenames)
         self.source = source
+        # optional second VIEW of every clip (same labels, independent
+        # nuisance render) — the paired-teacher-view consistency mode
+        self.source2 = source2
         self.targets = manifest.encode_targets(codec, sample_rate, hop_length, pooling_time_ratio)
         self._cache: Optional[dict] = {} if cache_audio else None
+        self._cache2: Optional[dict] = {} if cache_audio else None
 
     def __len__(self):
         return len(self.filenames)
@@ -92,6 +96,15 @@ class Stream:
         a = self.source.get_audio(self.filenames[idx])
         if self._cache is not None:
             self._cache[idx] = a
+        return a
+
+    def get_audio2(self, idx: int) -> np.ndarray:
+        assert self.source2 is not None, f"stream {self.name} has no view-2 source"
+        if self._cache2 is not None and idx in self._cache2:
+            return self._cache2[idx]
+        a = self.source2.get_audio(self.filenames[idx])
+        if self._cache2 is not None:
+            self._cache2[idx] = a
         return a
 
 
@@ -145,6 +158,15 @@ class BatchPipeline:
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.max_frames = max_frames
+        # paired-teacher-view mode: every training stream carries a second
+        # independently-rendered view; batches gain an "audio2" array the
+        # step's teacher pass featurizes instead of the student's audio
+        self.paired_views = all(s.source2 is not None for s in self.streams) \
+            and len(self.streams) > 0
+        assert self.paired_views or not any(
+            s.source2 is not None for s in self.streams
+        ), "paired views must be all-streams-or-none (mixed batches would " \
+           "silently hand some teacher rows the student view)"
 
     def __len__(self):
         return len(self.sampler)
@@ -177,7 +199,15 @@ class BatchPipeline:
             pairs = host_shard_pairs(pairs, self.process_index, self.process_count)
         audio, frames = self._pack_audio(pairs)
         targets = np.stack([self.streams[s].targets[i] for s, i in pairs])
-        return {"audio": audio, "frames": frames, "target": targets}
+        batch = {"audio": audio, "frames": frames, "target": targets}
+        if self.paired_views:
+            clips = [self.streams[s].get_audio2(i) for s, i in pairs]
+            padded, _ = host_reflect_pad(
+                clips, self.max_samples, self.n_fft, self.hop_length,
+                self.max_frames,
+            )
+            batch["audio2"] = quantize_audio_int16(padded)
+        return batch
 
     def _pack_audio(self, pairs):
         native_paths = self._native_paths(pairs)
@@ -293,24 +323,33 @@ class DeviceResidentData:
         self.offsets = np.cumsum([0] + sizes[:-1]).astype(np.int32)
         pad_len = pipeline.max_samples + pipeline.n_fft  # host_reflect_pad layout
         t_shape = pipeline.streams[0].targets.shape[1:]
-        est = n_total * (pad_len * 2 + 4 + int(np.prod(t_shape)) * 4)
+        est = n_total * (pad_len * 2 * (2 if pipeline.paired_views else 1)
+                         + 4 + int(np.prod(t_shape)) * 4)
         if est > max_bytes:
             raise ValueError(
                 f"device-resident dataset would need ~{est / 2**30:.1f} GiB "
                 f"(> {max_bytes / 2**30:.1f} GiB cap) for {n_total} clips — "
                 "use the streamed pipeline (or raise max_bytes)"
             )
-        audio_rows, frame_rows, target_rows = [], [], []
+        audio_rows, audio2_rows, frame_rows, target_rows = [], [], [], []
         chunk = 64  # bound host-side f32 staging memory
         for s in pipeline.streams:
             for lo in range(0, len(s), chunk):
-                clips = [s.get_audio(i) for i in range(lo, min(lo + chunk, len(s)))]
+                hi = min(lo + chunk, len(s))
+                clips = [s.get_audio(i) for i in range(lo, hi)]
                 padded, frames = host_reflect_pad(
                     clips, pipeline.max_samples, pipeline.n_fft,
                     pipeline.hop_length, pipeline.max_frames,
                 )
                 audio_rows.append(quantize_audio_int16(padded))
                 frame_rows.append(frames)
+                if pipeline.paired_views:
+                    clips2 = [s.get_audio2(i) for i in range(lo, hi)]
+                    padded2, _ = host_reflect_pad(
+                        clips2, pipeline.max_samples, pipeline.n_fft,
+                        pipeline.hop_length, pipeline.max_frames,
+                    )
+                    audio2_rows.append(quantize_audio_int16(padded2))
             target_rows.append(s.targets)
         audio = np.concatenate(audio_rows)
         frames = np.concatenate(frame_rows)
@@ -325,10 +364,13 @@ class DeviceResidentData:
         self.n_real = n_total
         B = max(pipeline.sampler.batch_size, 8)
         pad = (-n_total) % B
+        audio2 = np.concatenate(audio2_rows) if audio2_rows else None
         if pad:
             audio = np.concatenate([audio, np.repeat(audio[-1:], pad, 0)])
             frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
             targets = np.concatenate([targets, np.repeat(targets[-1:], pad, 0)])
+            if audio2 is not None:
+                audio2 = np.concatenate([audio2, np.repeat(audio2[-1:], pad, 0)])
         if mesh is not None:
             from dcase2019_task4_tpu.parallel.mesh import replicated
 
@@ -341,6 +383,8 @@ class DeviceResidentData:
             "frames": put(frames),
             "target": put(targets),
         }
+        if audio2 is not None:
+            self.data["audio2"] = put(audio2)
         self.nbytes = est
 
     def epoch_indices(self, sampler: MultiStreamSampler, epoch: int) -> np.ndarray:

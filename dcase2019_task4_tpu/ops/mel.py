@@ -376,18 +376,25 @@ class MelFrontend:
         n_valid_frames: jnp.ndarray,
         rng: jax.Array,
         noise_std: float = 0.25,
+        teacher_padded: jnp.ndarray | None = None,
     ) -> tuple:
         """(student, teacher) features for the Mean-Teacher loop.
 
         The reference's AugmentGaussianNoise (DataLoad.py:283-287) adds
         |N(0, 0.25)| to the *linear* mel and hands the clean tensor to the
         student, the noisy one to the teacher (main.py:73 unpack order); the
-        log / pad / normalize stages then run on both."""
+        log / pad / normalize stages then run on both.
+
+        `teacher_padded` (paired-teacher-view mode): the teacher's linear
+        mel comes from this second audio view instead of sharing the
+        student's — the gaussian noise still applies on top, so the view
+        swap is the only change to the recipe."""
         mel = self.linear_mel(padded)
         mask = self.frame_mask(n_valid_frames)
         noise = jnp.abs(noise_std * jax.random.normal(rng, mel.shape, dtype=mel.dtype))
         student = jnp.where(mask[..., None], self.amplitude_to_db(mel, mask), 0.0)
-        teacher_mel = mel + noise
+        t_mel = mel if teacher_padded is None else self.linear_mel(teacher_padded)
+        teacher_mel = t_mel + noise
         teacher = jnp.where(mask[..., None], self.amplitude_to_db(teacher_mel, mask), 0.0)
         return student, teacher
 

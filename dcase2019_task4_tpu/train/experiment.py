@@ -66,6 +66,7 @@ class Experiment:
         seed: int = 0,
         ramped_adam: bool = False,
         device_cache: bool = False,
+        paired_teacher_view: bool = False,
     ):
         self.cfg = cfg
         self.ramped_adam = ramped_adam
@@ -95,6 +96,17 @@ class Experiment:
         # {"weak": (a, b), "synthetic": (a, b)} so labeled TRAIN data sits
         # in a narrow band while unlabeled + validation span the full one.
         self.synthetic_bands = dict(synthetic_bands or {})
+        # teacher consumes an INDEPENDENT nuisance render of each training
+        # clip (second synthetic view, salt "v2") instead of sharing the
+        # student's audio — the consistency-positive-regime probe
+        # (tools/ablate_ssl.py arm mt_nv). Synthetic-only: a wav tree has
+        # no second view to render.
+        self.paired_teacher_view = paired_teacher_view
+        if paired_teacher_view:
+            assert synthetic_audio and mean_teacher, (
+                "paired_teacher_view needs --synthetic_audio (a second view "
+                "is rendered, not recorded) and the Mean-Teacher recipe"
+            )
         self.log = logger or get_logger()
         self.mesh = mesh
         self.seed = seed
@@ -120,13 +132,15 @@ class Experiment:
 
     # ------------------------------------------------------------ sources
 
-    def _source_for(self, manifest: Manifest, tsv_path: str, stream_name: str = ""):
+    def _source_for(self, manifest: Manifest, tsv_path: str, stream_name: str = "",
+                    view_salt: str = "desed-synth"):
         if self.synthetic_audio:
             return SyntheticAudioSource(
                 manifest, self.classes, self.cfg.dsp.sample_rate,
                 self.cfg.dsp.max_len_seconds,
                 variability=self.synthetic_variability,
                 nuisance_band=self.synthetic_bands.get(stream_name),
+                seed_salt=view_salt,
             )
         return WavAudioSource(
             self.cfg.paths.audio_dir_for_meta(tsv_path), self.cfg.dsp.sample_rate
@@ -135,6 +149,13 @@ class Experiment:
     def _make_stream(self, name: str, manifest: Manifest, tsv_path: str, cache=True) -> Stream:
         d = self.cfg.dsp
         source = self._source_for(manifest, tsv_path, stream_name=name)
+        source2 = None
+        if self.paired_teacher_view:
+            # same manifest/band/variability, distinct salt → an
+            # independent nuisance render of every clip (same labels)
+            source2 = self._source_for(
+                manifest, tsv_path, stream_name=name, view_salt="desed-synth/v2"
+            )
         if not self.synthetic_audio:
             # drop rows whose wav is absent, with a logged error per file
             # (reference DatasetDcase2019Task4.py:254-262)
@@ -150,6 +171,7 @@ class Experiment:
             d.hop_length,
             self.cfg.model.pooling_time_ratio,
             cache_audio=cache,
+            source2=source2,
         )
 
     # -------------------------------------------------------------- build

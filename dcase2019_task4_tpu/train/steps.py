@@ -186,7 +186,19 @@ def make_train_step(
             # the chunked/pallas frontends dequantize int16 themselves,
             # after the hop-chunk relayout (half the reshape bytes)
             audio = dequantize_audio(audio)
-        if mean_teacher:
+        if mean_teacher and "audio2" in batch:
+            # paired-teacher-view mode: the teacher featurizes an
+            # INDEPENDENT nuisance render of the same clips (same labels,
+            # fresh noise/timbre/detune draws) — the reference's gaussian
+            # noise (DataLoad.py:283-287) stays on top, so the only delta
+            # vs the standard recipe is the view audio
+            audio2 = batch["audio2"]
+            if frontend.stft_mode not in ("chunked", "pallas"):
+                audio2 = dequantize_audio(audio2)
+            student, teacher = frontend.log_mel_pair(
+                audio, batch["frames"], rng, noise_std, teacher_padded=audio2
+            )
+        elif mean_teacher:
             student, teacher = frontend.log_mel_pair(audio, batch["frames"], rng, noise_std)
         else:
             student = frontend.log_mel(audio, batch["frames"])
@@ -333,11 +345,9 @@ def make_device_epoch(train_step: TrainStep, mesh=None, axis_name: str = "data")
         def body(carry, idx_t):
             state, rng, acc = carry
             rng, sub = jax.random.split(rng)
-            batch = {
-                "audio": data["audio"][idx_t],
-                "frames": data["frames"][idx_t],
-                "target": data["target"][idx_t],
-            }
+            # leading-axis gathers over every resident array ("audio",
+            # "frames", "target", plus "audio2" in paired-view mode)
+            batch = {k: v[idx_t] for k, v in data.items()}
             state, _, acc = body_fn(state, batch, sub, acc)
             return (state, rng, acc), None
 

@@ -227,3 +227,75 @@ def test_experiment_synthetic_bands_plumbed_per_stream():
     assert bands["unlabeled"] is None
     assert exp.valid_synth_stream.source.nuisance_band is None
     assert exp.valid_weak_stream.source.nuisance_band is None
+
+
+def _paired_stream(n=5, name="s"):
+    m = subpart_manifest(load_manifest(CFG.paths.synthetic), n)
+    kw = dict(sample_rate=D.sample_rate, duration=D.max_len_seconds,
+              variability=1.0)
+    src = SyntheticAudioSource(m, CFG.classes, **kw)
+    src2 = SyntheticAudioSource(m, CFG.classes, seed_salt="desed-synth/v2", **kw)
+    codec = LabelCodec(CFG.classes, n_frames=D.max_frames // 8)
+    return Stream(name, m, src, codec, D.sample_rate, D.hop_length, 8,
+                  cache_audio=True, source2=src2)
+
+
+def test_paired_view_batches_and_device_cache_rows():
+    """Paired-teacher-view mode: batches carry an "audio2" second view —
+    same shape/frames, different waveform (independent nuisance render of
+    the SAME events) — and the device-resident store's gathered rows equal
+    the streamed pack bit-exactly for both views."""
+    from dcase2019_task4_tpu.data.pipeline import DeviceResidentData
+
+    s = _paired_stream(6)
+    bp = BatchPipeline([s], [4], D.max_samples, D.n_window, D.hop_length, D.max_frames)
+    assert bp.paired_views
+    batch = next(bp.iter_epoch(0, prefetch=0))
+    assert batch["audio2"].shape == batch["audio"].shape
+    assert batch["audio2"].dtype == np.int16
+    assert np.any(batch["audio2"] != batch["audio"])  # a distinct render
+    # same labels → same targets; view-2 length == view-1 length → frames eq
+    a2 = s.source2.get_audio(s.filenames[0])
+    a1 = s.source.get_audio(s.filenames[0])
+    assert a1.shape == a2.shape and np.any(a1 != a2)
+
+    drd = DeviceResidentData(bp)
+    assert "audio2" in drd.data
+    idx = drd.epoch_indices(bp.sampler, 0)
+    np.testing.assert_array_equal(np.asarray(drd.data["audio"])[idx[0]], batch["audio"])
+    np.testing.assert_array_equal(np.asarray(drd.data["audio2"])[idx[0]], batch["audio2"])
+    np.testing.assert_array_equal(np.asarray(drd.data["target"])[idx[0]], batch["target"])
+
+
+def test_paired_view_all_or_none():
+    s1 = _paired_stream(4, "a")
+    m = subpart_manifest(load_manifest(CFG.paths.synthetic), 4)
+    src = SyntheticAudioSource(m, CFG.classes, D.sample_rate, D.max_len_seconds)
+    codec = LabelCodec(CFG.classes, n_frames=D.max_frames // 8)
+    s2 = Stream("b", m, src, codec, D.sample_rate, D.hop_length, 8)
+    import pytest
+
+    with pytest.raises(AssertionError, match="all-streams-or-none"):
+        BatchPipeline([s1, s2], [2, 2], D.max_samples, D.n_window, D.hop_length,
+                      D.max_frames)
+
+
+def test_log_mel_pair_teacher_view_swaps_audio():
+    """With noise_std=0 the paired-view teacher features equal log_mel of
+    the second view exactly, and the student's stay on the first."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcase2019_task4_tpu.ops.mel import MelFrontend
+
+    fe = MelFrontend(sample_rate=16000, n_window=32, hop_length=12, n_mels=8,
+                     f_min=0.0, f_max=8000.0, max_frames=8, stft_mode="chunked")
+    rng = np.random.default_rng(3)
+    a1 = jnp.asarray((rng.standard_normal((2, 150)) * 9000).astype(np.int16))
+    a2 = jnp.asarray((rng.standard_normal((2, 150)) * 9000).astype(np.int16))
+    frames = jnp.asarray([8, 6])
+    st, te = fe.log_mel_pair(a1, frames, jax.random.PRNGKey(0), 0.0,
+                             teacher_padded=a2)
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(fe.log_mel(a1, frames)))
+    np.testing.assert_array_equal(np.asarray(te), np.asarray(fe.log_mel(a2, frames)))
+    assert np.any(np.asarray(st) != np.asarray(te))

@@ -76,7 +76,7 @@ _apply_platform_override()
 
 def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
             variability=0.0, subpart_unlabeled=None, eval_every=1,
-            device_cache=True, labeled_band=None):
+            device_cache=True, labeled_band=None, paired_view=False):
     import numpy as np
 
     from dcase2019_task4_tpu.config import Config, TrainConfig
@@ -99,6 +99,7 @@ def run_arm(name, mean_teacher, max_cc, subpart, epochs, seed, store_root,
         synthetic_audio=True, synthetic_variability=variability, seed=seed,
         synthetic_bands=bands,
         device_cache=device_cache,
+        paired_teacher_view=paired_view,
     )
     store = os.path.join(store_root, f"{name}_s{seed}")
     if os.path.exists(store):  # leftover from an interrupted run: start clean
@@ -190,6 +191,16 @@ def main():
         "supervised": dict(mean_teacher=False, max_cc=2.0),
         "mt": dict(mean_teacher=True, max_cc=2.0),
         "mt_cc0": dict(mean_teacher=True, max_cc=0.0),
+        # paired-teacher-view probe: the teacher featurizes an INDEPENDENT
+        # nuisance render of each clip (Experiment(paired_teacher_view=True))
+        # — the consistency term now enforces invariance ACROSS the nuisance
+        # distribution rather than across gaussian input noise. If the
+        # consistency gradient has a positive regime on this source, this is
+        # it: mt_nv - mt_cc0 measures the gradient when the view
+        # perturbation actually spans the nuisance the validation set varies
+        # over (gaussian noise, the reference's perturbation, is nearly
+        # orthogonal to the timbre/detune/gain nuisance axes).
+        "mt_nv": dict(mean_teacher=True, max_cc=2.0, paired=True),
     }
     results = []
     if os.path.exists(args.out):  # accumulate across same-config invocations
@@ -251,7 +262,8 @@ def main():
                         subpart_unlabeled=args.subpart_unlabeled,
                         eval_every=args.eval_every,
                         device_cache=not args.no_device_cache,
-                        labeled_band=labeled_band)
+                        labeled_band=labeled_band,
+                        paired_view=d.get("paired", False))
             print(json.dumps(r), flush=True)
             results.append(r)
             write_doc()  # crash-safe: partial results land after every arm
