@@ -55,6 +55,14 @@ def _common_train_args(parser):
                         "strength (per-clip noise floor/gain, per-event "
                         "timbre/detune/wobble; labels unchanged). 0 = the "
                         "original deterministic tone-bank source.")
+    parser.add_argument("--paired_teacher_view", action="store_true", default=False,
+                        help="Mean-Teacher only, with --synthetic_audio: the "
+                        "teacher featurizes an INDEPENDENT nuisance render "
+                        "of each training clip (second view) instead of the "
+                        "student's audio + gaussian noise alone — the "
+                        "consistency term then enforces invariance across "
+                        "the nuisance distribution (measured to flip the "
+                        "consistency gradient positive; RESULTS.md round 5).")
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="Shard batches over all visible devices (GSPMD).")
     parser.add_argument("--bf16", action="store_true", default=False,
@@ -139,6 +147,7 @@ def _build_experiment(args, mean_teacher: bool, no_synthetic=False, no_weak=Fals
         seed=args.seed,
         ramped_adam=getattr(args, "ramped_adam", False),
         device_cache=getattr(args, "device_cache", False),
+        paired_teacher_view=getattr(args, "paired_teacher_view", False),
     )
 
 

@@ -33,6 +33,13 @@ DCASE_SCALER_CACHE=/tmp/scaler_cache timeout 28000 \
   --out ABLATION_ssl_shift.json --store /tmp/ablate_shift \
   > /tmp/ablate_shift.log 2>&1
 echo "ablation exit=$?"; tail -6 /tmp/ablate_shift.log
+echo "=== 1b/3 paired-teacher-view arm (mt_nv; separate out-file) ==="
+DCASE_SCALER_CACHE=/tmp/scaler_cache timeout 14000 \
+  python tools/ablate_ssl.py --epochs 1000 --eval_every 25 --seeds "$SEEDS" \
+  --arms mt_nv --nuisance_shift 0.4,0.6 \
+  --out ABLATION_ssl_shift_nv.json --store /tmp/ablate_shift_nv \
+  > /tmp/ablate_shift_nv.log 2>&1
+echo "mt_nv exit=$?"; tail -4 /tmp/ablate_shift_nv.log
 
 echo "=== 2/3 full-step bench (flagship + scaled) ==="
 timeout 1800 python bench.py > /tmp/bench_default.log 2>&1
