@@ -14,6 +14,12 @@ synthetic manifests, same split seeds):
   mt_cc0      identical to `mt` but max_consistency_cost = 0: the
               teacher/EMA machinery runs, the consistency gradient is
               exactly zero. Any mt-vs-mt_cc0 gap is the consistency term.
+  mt_nv       `mt` with the teacher consuming an INDEPENDENT nuisance
+              render of each clip (Experiment(paired_teacher_view=True));
+              mt_nv - mt_cc0 isolates the consistency gradient when its
+              view perturbation spans the data nuisance — measured
+              +0.199 event F1, 4/4 seeds, under --nuisance_shift 0.4,0.6
+              (RESULTS.md round 5; gaussian views: -0.033).
 
 Each arm trains --epochs epochs with per-epoch validation (synthetic
 audio → hermetic, deterministic per seed) and reports the BEST validation
