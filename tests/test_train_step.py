@@ -203,3 +203,49 @@ def test_flat_param_update_identical(monkeypatch):
     mu_leaves = jax.tree.leaves(s_flat.opt_state[0].mu)
     assert len(mu_leaves) == 1 and mu_leaves[0].ndim == 1
     assert len(jax.tree.leaves(s_tree.opt_state[0].mu)) > 1
+
+
+def test_paired_view_audio2_reaches_teacher_inside_step():
+    """Paired-teacher-view wiring at the STEP level, by exact equality:
+    with noise_std=0, a batch whose audio2 EQUALS its audio must
+    reproduce the audio2-free step's consistency losses bitwise (the
+    teacher's mel is the same tensor either way), while a genuinely
+    different second view must CHANGE them — together these prove the
+    batch's audio2 is what the teacher featurizes inside the jitted
+    step (magnitudes are deliberately not asserted: at init the tiny
+    model is nearly input-invariant and the loss is dominated by
+    grad-vs-nograd fp noise ~1e-7)."""
+    import optax
+
+    from dcase2019_task4_tpu.ops.mel import MelFrontend
+
+    hop, n_fft, T = 12, 32, 64
+    fe = MelFrontend(sample_rate=16000, n_window=n_fft, hop_length=hop,
+                     n_mels=F_IN, f_min=0.0, f_max=8000.0, max_frames=T)
+    model = CRNN(TINY)
+    opt = optax.adam(1e-3)
+    step = make_train_step(
+        model, opt, WEAK, STRONG, mean_teacher=True, rampup_length=100,
+        max_consistency_cost=2.0, frontend=fe, noise_std=0.0,
+    )
+    rng = np.random.default_rng(5)
+    L = T * hop + n_fft
+    audio = (rng.standard_normal((BATCH, L)) * 9000).astype(np.int16)
+    audio2 = (rng.standard_normal((BATCH, L)) * 9000).astype(np.int16)
+    base = {
+        "audio": jnp.asarray(audio),
+        "frames": jnp.full((BATCH,), T, jnp.int32),
+        "target": jnp.asarray(_batch()["target"]),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def run(batch):
+        state = init_train_state(model, opt, jax.random.PRNGKey(0), with_ema=True)
+        _, m, _ = step(state, batch, key, step.zero_metrics())
+        return float(m["consistency_strong"]) + float(m["consistency_weak"])
+
+    c_none = run(dict(base))
+    c_same = run(dict(base, audio2=jnp.asarray(audio)))
+    c_diff = run(dict(base, audio2=jnp.asarray(audio2)))
+    assert c_same == c_none  # identical view == no second view, bitwise
+    assert c_diff != c_none  # a different view reaches the teacher
