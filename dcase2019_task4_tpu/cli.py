@@ -237,6 +237,11 @@ def evaluate(argv=None):
                         help="Per-class decode thresholds JSON ({class: th} "
                         "dict or [C] list) — class_threshold mode, "
                         "evaluation_measures.py:60-66. Overrides --threshold.")
+    parser.add_argument("--median_windows_json", type=str, default=None,
+                        help="Per-class decode median-window JSON (the "
+                        "*.event_windows file --save_thresholds writes, or a "
+                        "[C] list of odd ints). Overrides the config's "
+                        "scalar median_window.")
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="Shard eval batches over all visible devices.")
     parser.add_argument("--export", type=str, default=None,
@@ -277,12 +282,17 @@ def evaluate(argv=None):
         ev.load_thresholds(args.thresholds_json) if args.thresholds_json
         else args.threshold
     )
+    median_window = (
+        ev.load_windows(args.median_windows_json) if args.median_windows_json
+        else None
+    )
     results = {}
     for i, tsv in enumerate(sets):
         save = args.save_predictions_fname if i == len(sets) - 1 else None
         res = ev.test_model(
             tsv, args.subpart_data, save,
             tune_thresholds=args.tune_thresholds, threshold=threshold,
+            median_window=median_window,
         )
         results[tsv] = {k: v for k, v in res.items() if k != "predictions"}
         if args.save_thresholds and "tuned_thresholds" in res:
@@ -321,6 +331,9 @@ def predict(argv=None):
     parser.add_argument("--thresholds_json", type=str, default=None,
                         help="Per-class decode thresholds JSON (dict or "
                         "[C] list). Overrides --threshold.")
+    parser.add_argument("--median_windows_json", type=str, default=None,
+                        help="Per-class decode median-window JSON ([C] odd "
+                        "ints or {class: w}). Overrides the config default.")
     parser.add_argument("--synthetic_audio", action="store_true", default=False)
     parser.add_argument("--long", action="store_true", default=False,
                         help="Arbitrary-length wavs: window into 10 s chunks "
@@ -355,18 +368,23 @@ def predict(argv=None):
         ev.load_thresholds(args.thresholds_json) if args.thresholds_json
         else args.threshold
     )
+    median_window = (
+        ev.load_windows(args.median_windows_json) if args.median_windows_json
+        else None
+    )
     if args.long:
         if args.weak_fname:
             parser.error("--weak_fname is per-clip; not defined under --long")
         res = ev.predict_long(
             args.input, args.save_predictions_fname, subpart=args.subpart_data,
             threshold=threshold, merge_gap=args.merge_gap, overlap=args.overlap,
+            median_window=median_window,
         )
     else:
         res = ev.predict_set(
             args.input, args.save_predictions_fname, subpart=args.subpart_data,
             weak_fname=args.weak_fname, weak_threshold=args.weak_threshold,
-            threshold=threshold,
+            threshold=threshold, median_window=median_window,
         )
     return {k: v for k, v in res.items() if k != "predictions"}
 

@@ -37,15 +37,41 @@ def _binarize_and_median_vector(strong_probs, thresholds, window: int):
     return median_filter_binary(binary, window)
 
 
-def binarize_and_median(strong_probs: jnp.ndarray, threshold=0.5, window: int = 5):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _binarize_and_median_perclass_windows(strong_probs, thresholds,
+                                          windows: tuple):
+    binary = (strong_probs > thresholds).astype(jnp.float32)
+    # one filtered grid per DISTINCT window, per-class column select — the
+    # tuner's grid has a handful of values, so this is a few reduces
+    filt = {w: median_filter_binary(binary, w) for w in sorted(set(windows))}
+    return jnp.concatenate(
+        [filt[w][..., c : c + 1] for c, w in enumerate(windows)], axis=-1
+    )
+
+
+def binarize_and_median(strong_probs: jnp.ndarray, threshold=0.5, window=5):
     """[B, T, C] probabilities → binary grid, then median-filter window
     (5, 1) over time, matching dcase_util binarization +
     scipy.ndimage.median_filter (evaluation_measures.py:212-214).
     `threshold` is a global scalar or a per-class [C] vector
-    (class_threshold mode, evaluation_measures.py:60-66)."""
+    (class_threshold mode, evaluation_measures.py:60-66); `window` is a
+    global odd scalar or a per-class [C] vector of odd ints (the
+    tune_event_thresholds output — the reference has no per-class-window
+    analogue)."""
+    if np.ndim(window) != 0:
+        wins = tuple(int(w) for w in np.asarray(window).reshape(-1))
+        assert len(wins) == strong_probs.shape[-1], (
+            f"per-class windows {len(wins)} != classes {strong_probs.shape[-1]}"
+        )
+        assert all(w % 2 == 1 for w in wins), f"windows must be odd, got {wins}"
+        th = (np.full(len(wins), float(threshold)) if np.ndim(threshold) == 0
+              else np.asarray(threshold))
+        return _binarize_and_median_perclass_windows(
+            strong_probs, jnp.asarray(th), wins
+        )
     if np.ndim(threshold) == 0:
-        return _binarize_and_median_scalar(strong_probs, float(threshold), window)
-    return _binarize_and_median_vector(strong_probs, jnp.asarray(threshold), window)
+        return _binarize_and_median_scalar(strong_probs, float(threshold), int(window))
+    return _binarize_and_median_vector(strong_probs, jnp.asarray(threshold), int(window))
 
 
 def grids_to_dataframe(

@@ -138,11 +138,34 @@ class CheckpointEvaluator:
             )
         return th
 
+    def load_windows(self, path: str) -> np.ndarray:
+        """Per-class median-window vector from JSON ({class: window} dict —
+        the format --save_thresholds writes alongside as *.event_windows —
+        or a bare [C] list of odd ints)."""
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        if isinstance(raw, dict):
+            missing = [c for c in self.codec.labels if c not in raw]
+            if missing:
+                raise ValueError(f"windows file {path} missing classes: {missing}")
+            w = np.asarray([int(raw[c]) for c in self.codec.labels])
+        else:
+            w = np.asarray(raw, dtype=np.int64)
+            if w.shape != (len(self.codec.labels),):
+                raise ValueError(
+                    f"windows list has shape {w.shape}, expected ({len(self.codec.labels)},)"
+                )
+        if np.any(w % 2 == 0):
+            raise ValueError(f"median windows must be odd, got {w.tolist()}")
+        return w
+
     def predict_set(self, source_path: str, save_predictions_fname: str,
                     subpart: Optional[int] = None,
                     weak_fname: Optional[str] = None,
                     weak_threshold: float = 0.5,
-                    threshold=0.5) -> Dict:
+                    threshold=0.5, median_window=None) -> Dict:
         """Groundtruth-free batched inference (serving surface — goes beyond
         the reference, whose TestModel.py:25-62 always scores against labels).
 
@@ -195,7 +218,10 @@ class CheckpointEvaluator:
                 decode_batch(
                     np.asarray(strong)[:nv], batch["filenames"], self.codec,
                     d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
-                    threshold=threshold, median_window=self.cfg.train.median_window,
+                    threshold=threshold, median_window=(
+                        self.cfg.train.median_window if median_window is None
+                        else median_window
+                    ),
                 )
             )
             if weak_fname:
@@ -219,7 +245,7 @@ class CheckpointEvaluator:
                      subpart: Optional[int] = None,
                      threshold=0.5, merge_gap: float = 0.2,
                      clamp_to_duration: bool = True,
-                     overlap: bool = False) -> Dict:
+                     overlap: bool = False, median_window=None) -> Dict:
         """Arbitrary-length wav inference (long-audio serving surface).
 
         The reference truncates every clip to max_frames before the model
@@ -314,7 +340,10 @@ class CheckpointEvaluator:
             df = decode_batch(
                 strong, keys[:n_valid], self.codec,
                 d.sample_rate, d.hop_length, ptr,
-                threshold=threshold, median_window=self.cfg.train.median_window,
+                threshold=threshold, median_window=(
+                    self.cfg.train.median_window if median_window is None
+                    else median_window
+                ),
             )
             if not df.empty:
                 idx = df["filename"].str.split("\x00", n=1)
@@ -341,7 +370,15 @@ class CheckpointEvaluator:
                     cnt[sf:sf + win_frames] += 1.0
                 avg = buf / np.maximum(cnt, 1.0)
                 binary = (avg > th).astype(np.float32)
-                med = median_filter(binary, size=(self.cfg.train.median_window, 1))
+                mw = (self.cfg.train.median_window if median_window is None
+                      else median_window)
+                if np.ndim(mw) == 0:
+                    med = median_filter(binary, size=(int(mw), 1))
+                else:  # per-class windows (tuner output): filter per column
+                    med = np.stack([
+                        median_filter(binary[:, c], size=int(w))
+                        for c, w in enumerate(np.asarray(mw).reshape(-1))
+                    ], axis=1)
                 dfs.append(grids_to_dataframe(
                     med[None], [fname], self.codec,
                     d.sample_rate, d.hop_length, ptr,
@@ -368,15 +405,19 @@ class CheckpointEvaluator:
     def test_model(self, tsv_path: str, subpart: Optional[int] = None,
                    save_predictions_fname: Optional[str] = None,
                    tune_thresholds: bool = False,
-                   threshold=0.5) -> Dict:
+                   threshold=0.5, median_window=None) -> Dict:
         """Full evaluation of one TSV set (reference test_model,
         TestModel.py:25-62): strong decode + event/segment metrics + weak F1.
         `tune_thresholds` additionally grid-searches (a) per-class weak
         tagging thresholds and (b) per-class STRONG-decode thresholds +
         median windows maximizing event-based F1 on this set
-        (eval/thresholds.py), reporting both tuned scores."""
+        (eval/thresholds.py), reporting both tuned scores. `median_window`
+        is a scalar or a per-class [C] vector (the tuner's persisted
+        windows; None → the config default)."""
         import pandas as pd
 
+        if median_window is None:
+            median_window = self.cfg.train.median_window
         self.log.info(tsv_path)
         stream = self._stream(tsv_path, subpart)
         d = self.cfg.dsp
@@ -394,7 +435,7 @@ class CheckpointEvaluator:
                 decode_batch(
                     np.asarray(strong)[:nv], batch["filenames"], self.codec,
                     d.sample_rate, d.hop_length, self.meta["pooling_time_ratio"],
-                    threshold=threshold, median_window=self.cfg.train.median_window,
+                    threshold=threshold, median_window=median_window,
                 )
             )
             acc.update(np.asarray(weak)[:nv], batch["target"][:nv])

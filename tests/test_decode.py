@@ -186,3 +186,35 @@ def test_tune_event_thresholds_reported_macro_is_applied_not_theoretical():
         m.counts[c].f_measure if c in m.counts else 0.0 for c in codec.labels
     ])
     assert res["macro_f1"] == macro
+
+
+def test_per_class_median_windows_match_scalar_columns():
+    """A per-class window vector equals column-wise scalar-window decodes
+    (and equals scipy's median_filter per column) — the consumption path
+    for tune_event_thresholds' persisted windows."""
+    from scipy.ndimage import median_filter
+
+    rng = np.random.default_rng(11)
+    probs = rng.uniform(size=(3, 40, 4)).astype(np.float32)
+    th = np.asarray([0.3, 0.5, 0.6, 0.4])
+    wins = np.asarray([3, 5, 7, 5])
+    out = np.asarray(binarize_and_median(jnp.asarray(probs), th, wins))
+    for c, w in enumerate(wins):
+        scalar = np.asarray(
+            binarize_and_median(jnp.asarray(probs), th, int(w))
+        )[..., c]
+        np.testing.assert_array_equal(out[..., c], scalar)
+        ref = median_filter(
+            (probs[..., c] > th[c]).astype(np.float32), size=(1, int(w))
+        )
+        np.testing.assert_array_equal(out[..., c], ref)
+
+
+def test_per_class_median_windows_validation():
+    import pytest
+
+    probs = jnp.zeros((1, 8, 2))
+    with pytest.raises(AssertionError, match="odd"):
+        binarize_and_median(probs, 0.5, np.asarray([3, 4]))
+    with pytest.raises(AssertionError, match="classes"):
+        binarize_and_median(probs, 0.5, np.asarray([3, 5, 7]))
