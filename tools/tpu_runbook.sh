@@ -1,17 +1,24 @@
 #!/bin/bash
 # Queued TPU work (run whenever the axon tunnel is up and the chip is free).
-# Safe to re-run: every step is resumable / idempotent.
-#   1. Nuisance-shift SSL ablation (VERDICT r4 item 1): labeled train
-#      streams confined to the 0.4-0.6 nuisance quantile band, unlabeled +
-#      validation full band, reference step scale. ablate_ssl.py writes the
-#      out-file after every completed arm-run and skips runs already
-#      recorded, so interrupted invocations resume for free. Add seeds with
-#      --seed_base for a disjoint batch.
-#   2. bench.py refresh at BOTH configs (both wall-clocked in round 5;
-#      re-run after any kernel-default change).
-#   3. TPU-gated Mosaic kernel tests incl. the round-5 A/B knobs
-#      (DCASE_DROPOUT_PACK packed dropout bits, DCASE_FUSED_MEL_ONEDOT
-#      single-matmul DFT) on hardware.
+# Safe to re-run: every step is resumable / idempotent. ALL steps were
+# executed in round 5 (results in ABLATION_ssl_shift*.json,
+# DIAG_invariance*.json, RESULTS.md round 5) — re-running is only needed
+# after code changes or to add seeds (--seed_base for a disjoint batch).
+#   1.  Nuisance-shift SSL ablation (labeled streams confined to the
+#       0.4-0.6 nuisance quantile band, unlabeled + validation full band,
+#       reference step scale). ablate_ssl.py writes the out-file after
+#       every completed arm-run and skips runs already recorded, so
+#       interrupted invocations resume for free.
+#   1b. Paired-teacher-view arm (mt_nv) — the consistency gradient's
+#       measured positive regime (+0.199 event F1 over mt_cc0, 4/4 seeds).
+#   2.  bench.py refresh at BOTH configs (both wall-clocked in round 5;
+#       re-run after any kernel-default change).
+#   3.  TPU-gated Mosaic kernel tests incl. the round-5 A/B knobs
+#       (DCASE_DROPOUT_PACK packed dropout bits, DCASE_FUSED_MEL_ONEDOT
+#       fused-basis DFT — both measured dead ends, docs/PERF.md round 5).
+# After step 1/1b, tools/diag_invariance.py measures each arm checkpoint's
+# prediction dispersion across nuisance renders (the mechanism evidence —
+# see DIAG_invariance.json for the exact invocation shape).
 set -u
 cd "$(dirname "$0")/.."
 for i in $(seq 1 200); do
