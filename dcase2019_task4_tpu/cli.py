@@ -326,6 +326,10 @@ def predict(argv=None):
     parser.add_argument("--weak_fname", type=str, default=None,
                         help="Also write clip-level tags (filename⇥event_labels).")
     parser.add_argument("--weak_threshold", type=float, default=0.5)
+    parser.add_argument("--weak_thresholds_json", type=str, default=None,
+                        help="Per-class clip-tagging thresholds JSON (the "
+                        "tuned.json --save_thresholds writes). Overrides "
+                        "--weak_threshold.")
     parser.add_argument("--threshold", type=float, default=0.5,
                         help="Strong-decode binarization threshold.")
     parser.add_argument("--thresholds_json", type=str, default=None,
@@ -383,7 +387,11 @@ def predict(argv=None):
     else:
         res = ev.predict_set(
             args.input, args.save_predictions_fname, subpart=args.subpart_data,
-            weak_fname=args.weak_fname, weak_threshold=args.weak_threshold,
+            weak_fname=args.weak_fname,
+            weak_threshold=(
+                ev.load_thresholds(args.weak_thresholds_json)
+                if args.weak_thresholds_json else args.weak_threshold
+            ),
             threshold=threshold, median_window=median_window,
         )
     return {k: v for k, v in res.items() if k != "predictions"}

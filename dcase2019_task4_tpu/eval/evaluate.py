@@ -174,7 +174,9 @@ class CheckpointEvaluator:
         event predictions TSV in the exact get_predictions format
         (evaluation_measures.py:216-230) and, optionally, a weak clip-tagging
         TSV (`filename⇥event_labels`, classes whose attention-pooled
-        probability clears `weak_threshold`, the reference's weak TSV schema).
+        probability clears `weak_threshold` — a scalar or a per-class [C]
+        vector, e.g. the tuned tagging thresholds from load_thresholds —
+        the reference's weak TSV schema).
         `threshold` is the strong-decode binarization — a scalar or a
         per-class [C] vector (class_threshold mode,
         evaluation_measures.py:60-66; see load_thresholds).

@@ -31,7 +31,15 @@ def test_train_crnn_flags():
 def test_evaluate_flags():
     h = _help("evaluate.py")
     for flag in ["--model_path", "--subpart_data", "--save_predictions_fname",
-                 "--torch_checkpoint", "--sets", "--tune_thresholds"]:
+                 "--torch_checkpoint", "--sets", "--tune_thresholds",
+                 "--thresholds_json", "--median_windows_json"]:
+        assert flag in h, flag
+
+
+def test_predict_flags():
+    h = _help("predict.py")
+    for flag in ["--thresholds_json", "--median_windows_json",
+                 "--weak_thresholds_json", "--long", "--overlap"]:
         assert flag in h, flag
 
 
